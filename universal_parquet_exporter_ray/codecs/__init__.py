@@ -1,0 +1,32 @@
+"""Codec registry bootstrap: registers the built-in lightweight codecs.
+
+North-rule codec set: dictionary, RLE, FSST, bit-packing, frame-of-reference,
+plus the zstd general-purpose fallback and plain/constant degenerate cases.
+"""
+
+from .base import (  # noqa: F401
+    ALL_NULL,
+    Codec,
+    Encoded,
+    all_codecs,
+    decode_column,
+    encode_column,
+    get_codec,
+    register_codec,
+    type_from_bytes,
+    type_to_bytes,
+)
+from .dictionary import ConstantCodec, DictCodec
+from .fsst import FsstCodec
+from .intcodec import BitPackCodec, ForPackCodec, RleCodec
+from .plain import PlainCodec, ZstdCodec
+
+register_codec(PlainCodec())
+register_codec(ZstdCodec())
+register_codec(BitPackCodec())
+register_codec(ForPackCodec())
+register_codec(RleCodec())
+register_codec(DictCodec())
+register_codec(ConstantCodec())
+register_codec(FsstCodec())
+register_codec(FsstCodec(compress=True, name="fsst_zstd"))

@@ -1,0 +1,230 @@
+"""FSST string compression (pure Python/numpy, from the public paper:
+"FSST: Fast Random Access String Compression", PVLDB 13(9), 2020).
+
+Simplified faithfully: a ≤254-entry symbol table of byte sequences (length
+1–8) is trained on a ≤64 KiB sample by iterated parse-and-count (gain =
+frequency × length, as in the paper); encoding replaces each greedy
+longest-match symbol occurrence with its 1-byte code, escaping bytes not
+covered by the table as ``0xFF <literal>``.
+
+Block layout: the codec encodes the **concatenated data buffer** of the whole
+string column chunk (symbols may span row boundaries — this is a block codec,
+not a random-access one) and stores the original row lengths forpacked, so the
+decoded buffer + offsets rebuild the column bit-identically.
+
+The symbol table is per-partition state: ``train()`` returns it and the
+encoder actor reuses it across batches of the same partition (north-rule
+requirement: "stateful encoder actors ... build and reuse FSST symbol tables
+and dictionaries per partition").
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .base import (
+    Codec,
+    Encoded,
+    combine,
+    get_codec,
+    is_string_like,
+    pack_blobs,
+    unpack_blobs,
+)
+
+ESCAPE = 255
+MAX_SYMBOLS = 254  # codes 0..253; 255 reserved for escape
+MAX_SYMBOL_LEN = 8
+TRAIN_SAMPLE_BYTES = 64 * 1024
+TRAIN_ITERATIONS = 3
+
+
+def _string_buffer(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    """(concatenated utf8/bytes buffer, int64 offsets starting at 0)."""
+    arr = combine(arr)
+    t = arr.type
+    if len(arr) == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data_buf = buffers[2]
+    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
+    return data, offsets - offsets[0]
+
+
+def _strings_from_buffer(data: bytes, lengths: np.ndarray, dtype: pa.DataType) -> pa.Array:
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype):
+        off_buf = pa.py_buffer(offsets.tobytes())
+    else:
+        off_buf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(dtype, n, [None, off_buf, pa.py_buffer(data)])
+
+
+def _pack_table(symbols: list[bytes]) -> bytes:
+    out = [bytes([len(symbols)])]
+    for s in symbols:
+        out.append(bytes([len(s)]))
+        out.append(s)
+    return b"".join(out)
+
+
+def _unpack_table(buf: bytes) -> list[bytes]:
+    n = buf[0]
+    out = []
+    off = 1
+    for _ in range(n):
+        ln = buf[off]
+        off += 1
+        out.append(buf[off : off + ln])
+        off += ln
+    return out
+
+
+def _compile(symbols: list[bytes]):
+    """Greedy longest-match tokenizer: alternation sorted longest-first, with
+    a catch-all single byte as the last alternative."""
+    ordered = sorted(symbols, key=len, reverse=True)
+    pattern = b"|".join(re.escape(s) for s in ordered) + (b"|" if ordered else b"") + b"(?s:.)"
+    rx = re.compile(pattern)
+    repl: dict[bytes, bytes] = {}
+    for code, s in enumerate(symbols):
+        repl[s] = bytes([code])
+    for b in range(256):
+        sb = bytes([b])
+        if sb not in repl:
+            repl[sb] = bytes([ESCAPE, b])
+    return rx, repl
+
+
+def train_table(sample: bytes) -> list[bytes]:
+    """Iterated parse-and-count symbol table construction (paper §3)."""
+    sample = sample[:TRAIN_SAMPLE_BYTES]
+    if not sample:
+        return []
+    symbols: list[bytes] = []
+    for _ in range(TRAIN_ITERATIONS):
+        rx, _repl = _compile(symbols)
+        tokens = rx.findall(sample)
+        singles: Counter = Counter(tokens)
+        pairs: Counter = Counter()
+        for a, b in zip(tokens, tokens[1:]):
+            if len(a) + len(b) <= MAX_SYMBOL_LEN:
+                pairs[a + b] += 1
+        gains: Counter = Counter()
+        for s, f in singles.items():
+            gains[s] += f * len(s)
+        for s, f in pairs.items():
+            gains[s] += f * len(s)
+        # deterministic top-k: gain desc, then symbol bytes
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        symbols = [s for s, g in ranked[:MAX_SYMBOLS] if g > len(s)]
+    return symbols
+
+
+class FsstCodec(Codec):
+    """FSST over the column's concatenated data buffer; lengths forpacked."""
+
+    name = "fsst"
+    cost_factor = 1.15  # bias selector away from the slower pure-Python codec
+
+    def __init__(self, compress: bool = False, name: Optional[str] = None):
+        self.compress = compress
+        if name:
+            self.name = name
+
+    def can_encode(self, t: pa.DataType) -> bool:
+        return is_string_like(t)
+
+    def train(self, sample: pa.Array) -> list[bytes]:
+        data, _ = _string_buffer(sample)
+        return train_table(data)
+
+    def encode(self, arr: pa.Array, state: Any = None) -> Encoded:
+        data, offsets = _string_buffer(arr)
+        symbols = state if state is not None else train_table(data)
+        rx, repl = _compile(symbols)
+        encoded = rx.sub(lambda m: repl[m.group(0)], data)
+        lengths = np.diff(offsets)
+        len_enc = get_codec("forpack").encode(pa.array(lengths))
+        if self.compress:
+            codec = pa.Codec("zstd", compression_level=6)
+            payload_data = codec.compress(encoded, asbytes=True)
+        else:
+            payload_data = encoded
+        payload = pack_blobs(
+            {"table": _pack_table(symbols), "data": payload_data, "lens": len_enc.payload}
+        )
+        meta = {
+            "len_meta": len_enc.meta,
+            "enc_size": len(encoded),
+            "z": self.compress,
+        }
+        return Encoded(self.name, payload, meta, len(arr))
+
+    def decode(self, enc: Encoded, dtype: pa.DataType) -> pa.Array:
+        blobs = unpack_blobs(enc.payload)
+        symbols = _unpack_table(blobs["table"])
+        raw = blobs["data"]
+        if enc.meta.get("z"):
+            raw = pa.Codec("zstd").decompress(raw, int(enc.meta["enc_size"]), asbytes=True)
+        data = _fsst_decode(raw, symbols)
+        len_enc = Encoded("forpack", blobs["lens"], enc.meta["len_meta"], enc.n_rows)
+        lengths = (
+            get_codec("forpack")
+            .decode(len_enc, pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return _strings_from_buffer(data, lengths, dtype)
+
+
+def _fsst_decode(encoded: bytes, symbols: list[bytes]) -> bytes:
+    """Vectorized FSST decode: classify each byte as escape / literal / code,
+    then scatter symbol bytes by code (≤254 vectorized scatters)."""
+    enc = np.frombuffer(encoded, dtype=np.uint8)
+    n = len(enc)
+    if n == 0:
+        return b""
+    is_esc_byte = enc == ESCAPE
+    # within a maximal run of 0xFF bytes, even offsets are escapes, odd are
+    # their literals; the literal of an odd-length run's last escape is the
+    # (non-0xFF) byte after the run.
+    idx = np.arange(n, dtype=np.int64)
+    run_start_marker = np.where(is_esc_byte & np.concatenate([[True], ~is_esc_byte[:-1]]), idx, -1)
+    last_start = np.maximum.accumulate(run_start_marker)
+    esc = is_esc_byte & ((idx - last_start) % 2 == 0)
+    esc_pos = np.flatnonzero(esc)
+    lit = np.zeros(n, dtype=bool)
+    lit[esc_pos + 1] = True
+    sym_mask = ~esc & ~lit
+
+    sym_lens = np.ones(256, dtype=np.int64)
+    for code, s in enumerate(symbols):
+        sym_lens[code] = len(s)
+    lens = np.where(sym_mask, sym_lens[enc], 0)
+    lens[lit] = 1
+    out_off = np.cumsum(lens) - lens
+    total = int(out_off[-1] + lens[-1]) if n else 0
+    out = np.empty(total, dtype=np.uint8)
+    lit_pos = np.flatnonzero(lit)
+    out[out_off[lit_pos]] = enc[lit_pos]
+    for code, s in enumerate(symbols):
+        pos = np.flatnonzero(sym_mask & (enc == code))
+        if len(pos) == 0:
+            continue
+        sarr = np.frombuffer(s, dtype=np.uint8)
+        out[out_off[pos][:, None] + np.arange(len(s))] = sarr
+    return out.tobytes()

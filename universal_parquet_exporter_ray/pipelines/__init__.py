@@ -1,0 +1,2 @@
+from .encode import encode_dataset, read_encoded  # noqa: F401
+from .verify import decoded_dataset, verify_roundtrip  # noqa: F401

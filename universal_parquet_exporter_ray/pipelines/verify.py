@@ -1,0 +1,164 @@
+"""Round-trip verification: decode every encoded partition and prove it
+bit-identical to the source (north rule / input_hint: per-row ``sha256``
+equality on the content column + per-column multiset fingerprints).
+
+Both sides stream: the decoded side is
+``read_parquet(parts) → groupby(partition_id) → map_groups(PartitionDecoder)``,
+the source side re-runs the SAME deterministic partition assignment recorded
+in the manifest lineage. Each side reduces to one tiny fingerprint row per
+(partition, column): multiset SUM (mod 2^64) of per-row hashes — order-
+insensitive, so no sort is needed — and only those tiny tables reach the
+driver. The content column's per-row hash is a real ``sha256`` (uint64
+prefix); other columns use the deterministic ``pd.util.hash_pandas_object``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..stages.encoder import PART_COL, PartitionDecoder
+from ..stages.salting import AssignPartitions, build_salt_map
+from ..state.manifest import read_manifest, sanitize_partition_id
+from .encode import read_encoded
+
+MASK64 = (1 << 64) - 1
+
+
+def _row_sha64(values: pd.Series) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out[i] = np.uint64(0x6E756C6C)  # b"null"
+        else:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out[i] = np.frombuffer(hashlib.sha256(b).digest()[:8], dtype=np.uint64)[0]
+    return out
+
+
+class FingerprintStage:
+    """map_batches stage → partial fingerprint rows per (partition, column)."""
+
+    def __init__(self, content_col: Optional[str], sanitize_ids: bool):
+        self.content_col = content_col
+        self.sanitize_ids = sanitize_ids
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pids = df[PART_COL].astype(str)
+        if self.sanitize_ids:
+            pids = pids.map(sanitize_partition_id)
+        cols = [c for c in df.columns if c != PART_COL]
+        hashes: dict[str, np.ndarray] = {}
+        for c in cols:
+            if c == self.content_col:
+                hashes[c] = _row_sha64(df[c])
+            else:
+                hashes[c] = pd.util.hash_pandas_object(df[c], index=False).to_numpy(
+                    dtype=np.uint64
+                )
+        grouped = pd.DataFrame({"pid": pids}).groupby("pid").indices
+        out: dict[str, list] = {"pid": [], "n": []}
+        for c in cols:
+            out[f"fp_{c}"] = []
+        for pid, idx in grouped.items():
+            out["pid"].append(pid)
+            out["n"].append(len(idx))
+            for c in cols:
+                out[f"fp_{c}"].append(hashes[c][idx].sum(dtype=np.uint64))
+        # explicit uint64 dtype: a plain int column would silently degrade to
+        # float64 through the Arrow boundary and corrupt low bits
+        df_out = pd.DataFrame({"pid": out["pid"], "n": np.array(out["n"], dtype=np.int64)})
+        for c in cols:
+            df_out[f"fp_{c}"] = np.array(out[f"fp_{c}"], dtype=np.uint64)
+        return df_out
+
+
+def _reduce_fingerprints(partials: pd.DataFrame) -> pd.DataFrame:
+    fp_cols = [c for c in partials.columns if c.startswith("fp_")]
+    agg: dict[str, dict] = {}
+    for _, r in partials.iterrows():
+        a = agg.setdefault(r["pid"], {"n": 0, **{c: 0 for c in fp_cols}})
+        a["n"] += int(r["n"])
+        for c in fp_cols:
+            a[c] = (a[c] + int(r[c])) & MASK64
+    out = pd.DataFrame(
+        [{"pid": pid, **vals} for pid, vals in agg.items()]
+    ).sort_values("pid").reset_index(drop=True)
+    return out
+
+
+def dataset_fingerprints(
+    ds: "ray.data.Dataset", content_col: Optional[str], sanitize_ids: bool
+) -> pd.DataFrame:
+    partials = ds.map_batches(
+        FingerprintStage(content_col, sanitize_ids), batch_format="pandas"
+    ).to_pandas()
+    return _reduce_fingerprints(partials)
+
+
+def decoded_dataset(out_dir: str) -> "ray.data.Dataset":
+    """Stream-decode the encoded output back into row form."""
+    return (
+        read_encoded(out_dir)
+        .groupby("partition_id")
+        .map_groups(PartitionDecoder, batch_format="pyarrow", concurrency=(1, 8))
+    )
+
+
+def verify_roundtrip(
+    source, out_dir: str, content_col: Optional[str] = None
+) -> pd.DataFrame:
+    """Per-partition verification report: n_rows match + every column's
+    fingerprint match (including the sha256-based content fingerprint)."""
+    manifest = read_manifest(out_dir).to_pylist()
+    lineage = json.loads(manifest[0]["lineage"])
+    ds = source if not isinstance(source, str) else ray.data.read_parquet(source)
+    if content_col is None:
+        content_col = _default_content_col(ds.schema().names)
+    salt_map = {}
+    if lineage.get("partition_by"):
+        counts = (
+            ds.select_columns([lineage["partition_by"]])
+            .groupby(lineage["partition_by"])
+            .count()
+            .to_pandas()
+        )
+        salt_map = build_salt_map(
+            dict(
+                zip(
+                    counts[lineage["partition_by"]].astype(str),
+                    counts["count()"],
+                )
+            ),
+            int(lineage["target_rows"]),
+        )
+    assign = AssignPartitions(
+        lineage.get("partition_by"),
+        list(lineage["hash_cols"]),
+        salt_map,
+        int(lineage.get("num_partitions") or 16),
+    )
+    src_fp = dataset_fingerprints(
+        ds.map_batches(assign, batch_format="pandas"), content_col, sanitize_ids=True
+    )
+    dec_fp = dataset_fingerprints(decoded_dataset(out_dir), content_col, sanitize_ids=False)
+    merged = src_fp.merge(dec_fp, on="pid", how="outer", suffixes=("_src", "_dec"))
+    fp_cols = [c[: -len("_src")] for c in merged.columns if c.endswith("_src") and c != "n_src"]
+    ok = merged["n_src"] == merged["n_dec"]
+    for c in fp_cols:
+        ok &= merged[f"{c}_src"] == merged[f"{c}_dec"]
+    merged["ok"] = ok.fillna(False)
+    return merged
+
+
+def _default_content_col(names: list[str]) -> Optional[str]:
+    for cand in ("content", "text"):
+        if cand in names:
+            return cand
+    return None

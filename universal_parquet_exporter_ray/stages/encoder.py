@@ -1,0 +1,134 @@
+"""Encoder / decoder stages for the columnar-encode pipeline.
+
+``PartitionEncoder`` is the actor-pool stage replacing the reference's
+``ParquetWriter.write_to_parquet`` (``/root/reference/src/export/parquet_writer.py:8-17``):
+instead of one pandas ``to_parquet`` call, every column of a partition is
+trial-selected (stats → candidates → trial encode) and encoded with the
+winning lightweight codec; FSST symbol tables / dictionaries trained on the
+partition sample are reused for the full partition (north-rule statefulness).
+
+Used via ``groupby(PART_COL).map_groups(PartitionEncoder(out_dir), ...)`` —
+one call per partition; the callable-class form makes Ray run it in an actor
+pool so the codec registry import cost is paid once per actor, not per batch.
+Mirrors the reference's empty-input ``ValueError``
+(``parquet_writer.py:10-11``) at the pipeline level (see pipelines/encode.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+
+from ..codecs import decode_column, encode_column
+from ..selector import select_codec
+from ..state.manifest import (
+    manifest_path,
+    parts_path,
+    sanitize_partition_id,
+    write_atomic_parquet,
+)
+
+PART_COL = "_part"
+
+ENCODED_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.string()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("payload", pa.large_binary()),
+        ("meta", pa.string()),
+        ("n_rows", pa.int64()),
+        ("type_ipc", pa.binary()),
+        ("input_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+    ]
+)
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_columns", pa.int64()),
+        ("input_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("ratio", pa.float64()),
+        ("codecs", pa.string()),      # json: column -> codec name
+        ("lineage", pa.string()),     # json: source + raw partition key
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
+class PartitionEncoder:
+    """Encode one partition group → write ``parts/<pid>/data.parquet`` +
+    ``manifest/<pid>.parquet`` atomically → emit the manifest row."""
+
+    def __init__(self, out_dir: str, lineage: dict | None = None):
+        self.out_dir = out_dir
+        self.lineage = lineage or {}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        raw_pid = str(group[PART_COL][0].as_py())
+        pid = sanitize_partition_id(raw_pid)
+        data = group.drop_columns([PART_COL])
+        rows = []
+        codec_map: dict[str, str] = {}
+        for name in data.column_names:
+            arr = data[name].combine_chunks()
+            choice = select_codec(arr)
+            try:
+                row = encode_column(arr, choice.codec, choice.state)
+            except Exception:
+                # stats were sampled; a codec can fail on the full chunk
+                # (e.g. "constant" when the tail has a second value)
+                row = encode_column(arr, "zstd")
+            row["partition_id"] = pid
+            row["column"] = name
+            codec_map[name] = row["codec"]
+            rows.append(row)
+        enc_table = pa.Table.from_pylist(rows, schema=ENCODED_SCHEMA)
+        write_atomic_parquet(enc_table, os.path.join(parts_path(self.out_dir), pid, "data.parquet"))
+        input_bytes = sum(r["input_bytes"] for r in rows)
+        encoded_bytes = sum(r["encoded_bytes"] for r in rows)
+        manifest_row = {
+            "partition_id": pid,
+            "n_rows": data.num_rows,
+            "n_columns": len(rows),
+            "input_bytes": input_bytes,
+            "encoded_bytes": encoded_bytes,
+            "ratio": encoded_bytes / max(1, input_bytes),
+            "codecs": json.dumps(codec_map, separators=(",", ":")),
+            "lineage": json.dumps(
+                {**self.lineage, "raw_partition_key": raw_pid},
+                separators=(",", ":"),
+            ),
+            "wall_s": time.monotonic() - t0,
+        }
+        mtable = pa.Table.from_pylist([manifest_row], schema=MANIFEST_SCHEMA)
+        write_atomic_parquet(mtable, os.path.join(manifest_path(self.out_dir), f"{pid}.parquet"))
+        return mtable
+
+
+class PartitionDecoder:
+    """Inverse stage: rows of encoded column blobs (one partition per group)
+    → the decoded Arrow table, bit-identical to the encoder's input."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = group["partition_id"][0].as_py()
+        cols: dict[str, pa.Array] = {}
+        for row in group.to_pylist():
+            cols[row["column"]] = decode_column(row)
+        out = pa.table(cols)
+        return out.append_column(
+            PART_COL, pa.array([pid] * out.num_rows, type=pa.string())
+        )
+
+
+def decode_partition_table(enc_table: pa.Table) -> pa.Table:
+    """Driver-side helper: decode one partition's encoded table (no Ray)."""
+    cols = {row["column"]: decode_column(row) for row in enc_table.to_pylist()}
+    return pa.table(cols)

@@ -1,0 +1,63 @@
+"""Manifest dataset + atomic partition output (checkpoint/resume state).
+
+The engine analogue of the reference's export-summary Parquet
+(``/root/reference/examples/advanced_integration_example.py:283-297``): one row
+per encoded partition recording lineage, per-column codec choice and
+compression/throughput metrics. Commit protocol: the partition's data file is
+written (atomic temp + rename) **before** its manifest file, so manifest
+presence implies complete data — resume is "skip every partition that has a
+manifest row" (SURVEY.md §2.11).
+
+Layout (resumable, one directory per partition — never one giant file):
+
+    out_dir/
+      parts/<pid>/data.parquet      encoded column blobs for one partition
+      manifest/<pid>.parquet        single manifest row for that partition
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def sanitize_partition_id(raw: str) -> str:
+    """Filesystem-safe, collision-free partition id."""
+    safe = "".join(c if c.isalnum() or c in "-._" else "_" for c in raw)
+    return f"{safe[:80]}-{zlib.crc32(raw.encode('utf-8')):08x}"
+
+
+def parts_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "parts")
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def write_atomic_parquet(table: pa.Table, final_path: str) -> None:
+    """Write to a temp name in the same directory, then atomic rename.
+    Deterministic temp name (pid-based) keeps retries idempotent."""
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{os.getpid()}-{os.path.basename(final_path)}")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, final_path)
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    return {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(manifest_path(out_dir), "*.parquet"))
+    }
+
+
+def read_manifest(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(manifest_path(out_dir), "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no manifest rows under {manifest_path(out_dir)}")
+    return pa.concat_tables([pq.read_table(f) for f in files])

@@ -1,0 +1,132 @@
+"""Full-pipeline integration: encode → manifest → verify → resume → size
+bound vs the reference writer (SURVEY.md §5.2 "Pipeline integration")."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from universal_parquet_exporter_ray.pipelines import (
+    decoded_dataset,
+    encode_dataset,
+    verify_roundtrip,
+)
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, source_files_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc") / "out")
+    manifest = encode_dataset(
+        source_files_path,
+        out,
+        partition_by="repo",
+        hash_cols=["path"],
+        target_rows_per_partition=500,
+    )
+    return source_files_path, out, manifest.to_pandas()
+
+
+def test_manifest_contents(encoded):
+    src, out, mdf = encoded
+    assert len(mdf) >= 4
+    assert mdf.n_rows.sum() == pq.read_metadata(src).num_rows
+    assert (mdf.encoded_bytes > 0).all()
+    codecs = json.loads(mdf.codecs.iloc[0])
+    assert set(codecs) == {"repo", "path", "commit", "lang", "content"}
+    lineage = json.loads(mdf.lineage.iloc[0])
+    assert lineage["partition_by"] == "repo"
+    assert "raw_partition_key" in lineage
+
+
+def test_monorepo_salted_into_buckets(encoded):
+    _, _, mdf = encoded
+    # repo0 is the zipf hot key: must have been split into >1 salt bucket
+    keys = [json.loads(l)["raw_partition_key"] for l in mdf.lineage]
+    repo0 = [k for k in keys if k.startswith("org0/repo0#")]
+    assert len(repo0) > 1
+    # and no partition vastly exceeds the target
+    assert mdf.n_rows.max() <= 500 * 1.5
+
+
+def test_roundtrip_bit_identical(encoded):
+    src, out, _ = encoded
+    rep = verify_roundtrip(src, out)
+    assert rep.ok.all(), rep[~rep.ok]
+
+
+def test_decoded_row_values_match_source(encoded):
+    src, out, _ = encoded
+    dec = (
+        decoded_dataset(out)
+        .to_pandas()
+        .drop(columns=["_part"])
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    srcdf = (
+        pq.read_table(src)
+        .to_pandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dec[srcdf.columns.tolist()], srcdf)
+
+
+def test_size_beats_reference_writer(encoded, tmp_path):
+    src, out, mdf = encoded
+    # the reference writer is pandas to_parquet w/ pyarrow snappy
+    # (/root/reference/src/export/parquet_writer.py:17)
+    baseline = tmp_path / "ref.parquet"
+    pq.read_table(src).to_pandas().to_parquet(baseline, index=False)
+    assert mdf.encoded_bytes.sum() <= os.path.getsize(baseline)
+
+
+def test_resume_skips_completed(encoded):
+    src, out, mdf = encoded
+    before = sorted(glob.glob(os.path.join(out, "manifest", "*.parquet")))
+    victims = before[: len(before) // 3]
+    mtimes_kept = {f: os.path.getmtime(f) for f in before[len(before) // 3 :]}
+    for f in victims:
+        pid = os.path.splitext(os.path.basename(f))[0]
+        os.remove(f)
+        shutil.rmtree(os.path.join(out, "parts", pid))
+    m2 = encode_dataset(
+        src, out, partition_by="repo", hash_cols=["path"], target_rows_per_partition=500
+    ).to_pandas()
+    assert len(m2) == len(before)
+    # untouched partitions were NOT re-encoded
+    for f, mt in mtimes_kept.items():
+        assert os.path.getmtime(f) == mt
+    assert verify_roundtrip(src, out).ok.all()
+
+
+def test_empty_input_raises(ray_session, tmp_path):
+    import pyarrow as pa
+
+    empty = tmp_path / "empty.parquet"
+    pq.write_table(
+        pa.table({"repo": pa.array([], type=pa.string()), "content": pa.array([], type=pa.string())}),
+        empty,
+    )
+    # reference semantic: ValueError on empty export (parquet_writer.py:10-11)
+    with pytest.raises(ValueError):
+        encode_dataset(str(empty), str(tmp_path / "out"))
+
+
+def test_unpartitioned_hash_mode(ray_session, source_files_path, tmp_path):
+    out = str(tmp_path / "hashed")
+    mdf = encode_dataset(
+        source_files_path,
+        out,
+        partition_by=None,
+        hash_cols=["repo", "path"],
+        target_rows_per_partition=700,
+    ).to_pandas()
+    assert len(mdf) == 3  # ceil(2000/700)
+    assert verify_roundtrip(source_files_path, out).ok.all()

@@ -1,44 +1,53 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship columnar-encode pipeline on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline (SURVEY.md §2).
+``oracle_sql()`` — DuckDB twins with matching column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: encode the sf0.001 ``documents`` table with the per-column
+    codec engine, verify the round-trip, return the manifest dataframe."""
+    from universal_parquet_exporter_ray.pipelines import encode_dataset, verify_roundtrip
+    from universal_parquet_exporter_ray.sources import table_path
+
+    src = table_path("/root/testdata/sf0.001", "documents")
+    out = tempfile.mkdtemp(prefix="upxr_entry_")
+    try:
+        manifest = encode_dataset(
+            src,
+            out,
+            partition_by="lang",
+            hash_cols=["doc_id"],
+            target_rows_per_partition=200,
+        ).to_pandas()
+        report = verify_roundtrip(src, out)
+        manifest["verified"] = bool(report.ok.all())
+        return manifest
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES as REL
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES as TEXT
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**REL, **TEXT}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from universal_parquet_exporter_ray.pipelines.relational import ORACLE_SQL as REL
+    from universal_parquet_exporter_ray.pipelines.textops import ORACLE_SQL as TEXT
+
+    return {**REL, **TEXT}

@@ -1,0 +1,611 @@
+"""The relational operator surface (SURVEY.md §2.2–§2.8), natively on Ray
+Data.
+
+The reference delegates every one of these to a SQL engine via query text
+(``/root/reference/src/query/query_executor.py:8-37``); here each is a named
+Ray Data pipeline. Each ``q_*`` function takes ``sf_dir`` and returns a
+Dataset / DataFrame; ``ORACLE_SQL`` holds the DuckDB twin with IDENTICAL
+column names (driver contract).
+
+Conventions:
+- float aggregates are rounded on BOTH sides (``round_half_away``) so the
+  driver's value-hash comparison is insensitive to summation order;
+- every ORDER BY ... LIMIT uses a tie-breaking unique key so results are
+  deterministic;
+- dimension joins broadcast (``broadcast_merge``); the one large-large join
+  (``q_join_multiway``) uses Ray Data's hash join + per-batch partial
+  aggregation before the final small groupby (scale pattern: combiner-first).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources import load_table
+from ..stages.joins import broadcast_merge, broadcast_semi
+
+QUERIES: dict[str, Callable] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def scaled_int(x, scale: float) -> np.ndarray:
+    """DuckDB-equivalent ``CAST(round(x * scale) AS BIGINT)`` (round half
+    away from zero). Computed floats are exported as scaled BIGINTs because
+    two engines rounding the same value to N decimals can produce doubles
+    one ulp apart — integers hash identically."""
+    v = np.asarray(x, dtype=np.float64) * scale
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def scale_cols(
+    ds: "ray.data.Dataset", spec: dict[str, tuple[str, float]]
+) -> "ray.data.Dataset":
+    """Replace float columns with scaled-int columns: {old: (new_name, scale)}."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for old, (new, scale) in spec.items():
+            df[new] = scaled_int(df[old], scale)
+            if new != old:
+                df = df.drop(columns=[old])
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# M-ops: projections & filters
+# ----------------------------------------------------------------------
+
+
+@q(
+    "projection",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+)
+def q_projection(sf_dir: str):
+    # M1 (reference: examples/basic_integration_example.py:98)
+    return load_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).sort(
+        "c_custkey"
+    )
+
+
+@q(
+    "filter_gt",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+    "FROM lineitem WHERE l_quantity > 30",
+)
+def q_filter_gt(sf_dir: str):
+    # M3 (reference: WHERE o.price > 100.00, basic_integration_example.py:126)
+    ds = load_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 30.0)), batch_format="pyarrow"
+    )
+
+
+@q(
+    "filter_like",
+    "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%CO%'",
+)
+def q_filter_like(sf_dir: str):
+    # M5 (reference: WHERE name LIKE '%&%', realDB:289)
+    ds = load_table(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_like(t["p_type"], "%CO%")), batch_format="pyarrow"
+    )
+
+
+@q(
+    "filter_eq_notnull",
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang IS NOT NULL AND lang = 'en'",
+)
+def q_filter_eq_notnull(sf_dir: str):
+    # M4 + M6 (reference: IS NOT NULL advanced:211; equality realDB:315)
+    ds = load_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["lang"]), pc.equal(t["lang"], "en"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@q(
+    "cast_math",
+    "SELECT l_orderkey, CAST(floor(l_quantity) AS BIGINT) AS qty_int, "
+    "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c "
+    "FROM lineitem WHERE l_linenumber = 1",
+)
+def q_cast_math(sf_dir: str):
+    # M2 + M9 (reference: CAST ... AS DECIMAL, sqlserver_advanced:134)
+    ds = load_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_linenumber"], 1))
+        qty_int = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+        charge = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            pc.add(1.0, t["l_tax"]),
+        )
+        charge_c = pa.array(scaled_int(charge.to_numpy(zero_copy_only=False), 100.0))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "qty_int": qty_int, "charge_c": charge_c}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@q(
+    "case_bucket",
+    "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' "
+    "ELSE 'high' END AS bal_bucket, count(*) AS n, "
+    "CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS sum_bal_c FROM customer GROUP BY 1",
+)
+def q_case_bucket(sf_dir: str):
+    # M7 + A4 (reference: age-group CASE, advanced_integration_example.py:199-213)
+    ds = load_table(sf_dir, "customer", ["c_acctbal"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bal_bucket"] = np.select(
+            [df.c_acctbal < 0, df.c_acctbal < 5000], ["negative", "mid"], default="high"
+        )
+        return df
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bal_bucket")
+        .aggregate(Count(alias_name="n"), Sum("c_acctbal", alias_name="sum_bal"))
+    )
+    return scale_cols(out, {"sum_bal": ("sum_bal_c", 100.0)})
+
+
+# ----------------------------------------------------------------------
+# J-ops: joins
+# ----------------------------------------------------------------------
+
+
+@q(
+    "join_inner",
+    "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 150000",
+)
+def q_join_inner(sf_dir: str):
+    # J1 (reference: JOIN orders ON u.id = o.user_id, basic:125). Dimension
+    # side broadcast — no shuffle.
+    orders = load_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)),
+        batch_format="pyarrow",
+    )
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    joined = broadcast_merge(
+        orders, cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
+    )
+    return joined.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+@q(
+    "join_left_coalesce",
+    "SELECT c.c_custkey, c.c_name, "
+    "CAST(round(coalesce(sum(o.o_totalprice), 0) * 100) AS BIGINT) AS total_spent_c, "
+    "count(o.o_orderkey) AS n_orders FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey, c.c_name",
+)
+def q_join_left_coalesce(sf_dir: str):
+    # J2 + M8 (reference: LEFT JOIN + COALESCE(SUM(o.price),0), advanced:166-171)
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    per_cust = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = broadcast_merge(
+        cust, per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_spent_c"] = scaled_int(df["total_spent"].fillna(0.0), 100.0)
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        return df[["c_custkey", "c_name", "total_spent_c", "n_orders"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@q(
+    "join_multiway",
+    "SELECT n.n_name, "
+    "CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS revenue_c, "
+    "count(*) AS n_items FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def q_join_multiway(sf_dir: str):
+    # J3 (reference: sys.tables 4-way join, sqlserver_advanced:172-175).
+    # Physical plan: large⋈large via Ray hash join (lineitem ⋈ orders),
+    # dims broadcast, then per-batch PARTIAL aggregation before the final
+    # tiny groupby — the combiner-first pattern that avoids shuffling rows.
+    li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = load_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    cust = (
+        load_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    )
+    nation = load_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", sort=False
+    )[["c_custkey", "n_name"]]
+    joined = broadcast_merge(
+        joined, dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("n_name", sort=False).agg(
+            rev_p=("rev", "sum"), n_p=("rev", "size")
+        )
+        return g.reset_index()
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("n_name").aggregate(
+        Sum("rev_p", alias_name="revenue"), Sum("n_p", alias_name="n_items")
+    )
+    return scale_cols(out, {"revenue": ("revenue_c", 100.0)})
+
+
+@q(
+    "semi_distinct",
+    "SELECT DISTINCT c.c_custkey, c.c_name FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 250000",
+)
+def q_semi_distinct(sf_dir: str):
+    # J5 + D1 (reference: DISTINCT high-value customers, basic:122-128).
+    # Semi-join: broadcast the (small) qualifying key set, filter per batch.
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = (
+        orders.map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi(cust, set(keys), "c_custkey")
+
+
+# ----------------------------------------------------------------------
+# A-ops: aggregations
+# ----------------------------------------------------------------------
+
+
+@q(
+    "global_agg",
+    "SELECT count(*) AS n, CAST(round(avg(l_quantity) * 1000000) AS BIGINT) AS avg_qty_micro, "
+    "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+    "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_c FROM lineitem",
+)
+def q_global_agg(sf_dir: str):
+    # A1 (reference: COUNT/AVG/MIN/MAX in one pass, realDB:237-240)
+    ds = load_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    res = ds.aggregate(
+        Count(alias_name="n"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n": res["n"],
+                "avg_qty_micro": int(scaled_int([res["avg_qty"]], 1e6)[0]),
+                "min_qty": res["min_qty"],
+                "max_qty": res["max_qty"],
+                "sum_price_c": int(scaled_int([res["sum_price"]], 100.0)[0]),
+            }
+        ]
+    )
+
+
+@q(
+    "group_agg",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c, "
+    "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c, "
+    "CAST(round(avg(l_discount) * 1000000) AS BIGINT) AS avg_disc_micro, "
+    "count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q_group_agg(sf_dir: str):
+    # A2, TPC-H Q1 shape (reference: GROUP BY u.id,u.name ..., realDB:344-349)
+    ds = load_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return scale_cols(
+        out,
+        {
+            "sum_qty": ("sum_qty_c", 100.0),
+            "sum_base_price": ("sum_base_price_c", 100.0),
+            "avg_disc": ("avg_disc_micro", 1e6),
+        },
+    )
+
+
+@q(
+    "count_distinct",
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def q_count_distinct(sf_dir: str):
+    # A3 two-phase (reference: COUNT(DISTINCT o.user_id), advanced:188)
+    ds = load_table(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    pairs = ds.groupby(["o_orderpriority", "o_custkey"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = pairs.groupby("o_orderpriority").aggregate(Count(alias_name="n_custs"))
+    return out
+
+
+@q(
+    "having",
+    "SELECT o_custkey, count(*) AS n_orders FROM orders "
+    "GROUP BY o_custkey HAVING count(*) > 15",
+)
+def q_having(sf_dir: str):
+    # A5 (reference: HAVING COUNT(o.id) > 0, advanced:258)
+    ds = load_table(sf_dir, "orders", ["o_custkey"])
+    out = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n_orders"], 15)), batch_format="pyarrow"
+    )
+
+
+@q(
+    "minmax_dates",
+    "SELECT o_orderpriority, min(o_orderdate) AS min_date, max(o_orderdate) AS max_date "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def q_minmax_dates(sf_dir: str):
+    # A6 (reference: MIN/MAX(o.order_date), advanced:168-169)
+    ds = load_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    return ds.groupby("o_orderpriority").aggregate(
+        Min("o_orderdate", alias_name="min_date"),
+        Max("o_orderdate", alias_name="max_date"),
+    )
+
+
+# ----------------------------------------------------------------------
+# O-ops: sort / limit / top-k
+# ----------------------------------------------------------------------
+
+
+@q(
+    "sort_limit",
+    "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100",
+)
+def q_sort_limit(sf_dir: str):
+    # O1 + O3 (reference: ORDER BY id ... LIMIT 2, realDB:177)
+    ds = load_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).limit(100)
+
+
+@q(
+    "multi_sort",
+    "SELECT c_mktsegment, c_name, c_acctbal FROM customer "
+    "ORDER BY c_mktsegment, c_acctbal DESC, c_name LIMIT 50",
+)
+def q_multi_sort(sf_dir: str):
+    # O2 (reference: ORDER BY u.name, o.product_name, realDB:215)
+    ds = load_table(sf_dir, "customer", ["c_mktsegment", "c_name", "c_acctbal"])
+    return ds.sort(
+        ["c_mktsegment", "c_acctbal", "c_name"], descending=[False, True, False]
+    ).limit(50)
+
+
+@q(
+    "limit_offset",
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
+)
+def q_limit_offset(sf_dir: str):
+    # O4 (reference: LIMIT 1 OFFSET 1, realDB:364-384). Ray Data has no
+    # native OFFSET: sort+limit(offset+n) then a driver-side slice of the
+    # (tiny) result — documented deviation, small results only.
+    ds = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    head = ds.sort("c_custkey").limit(30).to_pandas()
+    return head.iloc[20:].reset_index(drop=True)
+
+
+@q(
+    "topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+)
+def q_topk(sf_dir: str):
+    # O5 (reference: SELECT TOP 50 ... ORDER BY ... DESC, sqlserver_advanced:219)
+    ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(25)
+
+
+@q(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_rows(sf_dir: str):
+    # D1 (reference: SELECT DISTINCT ..., basic:123): hash-partition + first
+    ds = load_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_c"))
+    return out.select_columns(["l_returnflag", "l_linestatus"])
+
+
+# ----------------------------------------------------------------------
+# F-ops: scalar/window functions
+# ----------------------------------------------------------------------
+
+
+@q(
+    "datediff",
+    "SELECT o_custkey, date_diff('day', CAST(min(o_orderdate) AS DATE), "
+    "CAST(max(o_orderdate) AS DATE)) AS span_days FROM orders GROUP BY o_custkey",
+)
+def q_datediff(sf_dir: str):
+    # F1 (reference: DATEDIFF(MAX(order_date), MIN(order_date)), advanced:248)
+    ds = load_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["o_orderdate"], pa.int64())
+        day = pc.divide(micros, 86_400_000_000)  # floor for non-negative epochs
+        return pa.table({"o_custkey": t["o_custkey"], "day": day})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    agg = days.groupby("o_custkey").aggregate(
+        Min("day", alias_name="min_day"), Max("day", alias_name="max_day")
+    )
+
+    def span(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "span_days": pc.cast(
+                    pc.subtract(t["max_day"], t["min_day"]), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(span, batch_format="pyarrow")
+
+
+@q(
+    "rank_global",
+    "SELECT o_orderkey, o_totalprice, "
+    "RANK() OVER (ORDER BY o_totalprice DESC) AS price_rank FROM orders",
+)
+def q_rank_global(sf_dir: str):
+    # F3 (reference: RANK() OVER (ORDER BY o.price DESC), advanced:229).
+    # Distributed plan: rank(v) = 1 + count(rows with value > v), computed
+    # from the (distinct-value → count) table — no global sorted pass. The
+    # distinct-value table is assumed driver-small; for near-unique keys at
+    # 100 TB use the sort-based variant instead.
+    ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    vc = ds.groupby("o_totalprice").aggregate(Count(alias_name="cnt")).to_pandas()
+    vc = vc.sort_values("o_totalprice", ascending=False).reset_index(drop=True)
+    vc["price_rank"] = (vc.cnt.cumsum().shift(1, fill_value=0) + 1).astype("int64")
+    lookup = vc[["o_totalprice", "price_rank"]]
+    return broadcast_merge(ds, lookup, left_on=["o_totalprice"], how="inner")
+
+
+@q(
+    "rank_partitioned",
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 10",
+)
+def q_rank_partitioned(sf_dir: str):
+    # F4 (reference: RANK() OVER (PARTITION BY schema_name ...),
+    # sqlserver_advanced:185-186): rank within group via map_groups.
+    ds = load_table(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(10)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_orderpriority").map_groups(topn, batch_format="pandas")
+
+
+@q(
+    "cte_share",
+    "WITH seg AS (SELECT c_mktsegment, "
+    "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS seg_sales_c "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c_mktsegment) "
+    "SELECT c_mktsegment, seg_sales_c, "
+    "CAST(round(seg_sales_c * 1000000.0 / (SELECT sum(seg_sales_c) FROM seg)) AS BIGINT) "
+    "AS share_ppm FROM seg",
+)
+def q_cte_share(sf_dir: str):
+    # F5 + F6 (reference: WITH object_stats AS (...), sqlserver_advanced:164-177
+    # + arithmetic on aggregates, advanced:289): CTE = intermediate Dataset.
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_merge(
+        orders, cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
+    )
+    seg = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="seg_sales"))
+        .to_pandas()
+    )
+    seg["seg_sales_c"] = scaled_int(seg["seg_sales"], 100.0)
+    total = int(seg["seg_sales_c"].sum())
+    seg["share_ppm"] = scaled_int(seg["seg_sales_c"] * 1000000.0 / total, 1.0)
+    return seg[["c_mktsegment", "seg_sales_c", "share_ppm"]]
+
+
+@q(
+    "window_agg",
+    "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+    "CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_dm FROM events GROUP BY 1, 2",
+)
+def q_window_agg(sf_dir: str):
+    # §2.9 streaming-shaped: tumbling 1h window = group by (key, floor(ts))
+    ds = load_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})

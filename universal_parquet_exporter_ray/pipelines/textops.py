@@ -1,0 +1,305 @@
+"""Training-data-pipeline operators over ``documents`` / ``embeddings``:
+dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search,
+text analysis, multimodal plumbing, and the codec-engine round-trip query.
+
+Same registry shape as relational.py; entries without an oracle are
+non-SQL-expressible (driver records the weaker rows-only check)."""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..sources import load_table, table_path
+from ..stages.ann import BatchTopKCosine, CosinePairsStage, _normalize, final_topk
+from ..stages.dedup import (
+    MinHashBandStage,
+    SimHashStage,
+    bucket_to_pairs,
+    content_sha,
+    exact_jaccard,
+)
+from ..stages.multimodal import MediaDecodeStage, to_media_table
+from ..stages.text import FingerprintStage, LangIdStage, quality_score, token_count
+
+QUERIES: dict[str, Callable] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------------
+# dedup
+# ----------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+)
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: vectorized sha256 per batch → groupby(hash) → first.
+    Only 64-hex hashes shuffle, never the texts."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": content_sha(df)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    out = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+@q("minhash_lsh_pairs")
+def q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash(64 perms) + LSH(16×4 bands) near-dup candidates, verified with
+    exact 5-gram Jaccard ≥ 0.5. Non-SQL-expressible (rows-only check).
+
+    Scale shape: texts stay put; only (band, band_hash, doc_id) rows and the
+    candidate-pair id list shuffle. Pair verification re-reads only candidate
+    docs via a broadcast id-filter."""
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        MinHashBandStage, batch_format="pandas", concurrency=(1, 4)
+    )
+    pairs = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(bucket_to_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    cand_ids = set(pd.concat([pairs.doc_a, pairs.doc_b]).unique().tolist())
+    texts = (
+        docs.map_batches(
+            lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    jac = [
+        exact_jaccard(texts[a], texts[b]) for a, b in zip(pairs.doc_a, pairs.doc_b)
+    ]
+    pairs = pairs.assign(jaccard=np.round(jac, 6))
+    out = pairs[pairs.jaccard >= 0.5].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out
+
+
+@q("simhash64")
+def q_simhash64(sf_dir: str):
+    """SimHash (64-bit, token-hash majority vote) per document. Rows-only."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=(1, 4))
+
+
+@q("fingerprint")
+def q_fingerprint(sf_dir: str):
+    """Karp–Rabin rolling-hash min-fingerprint per document. Rows-only."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(FingerprintStage, batch_format="pandas", concurrency=(1, 4))
+
+
+# ----------------------------------------------------------------------
+# text analysis
+# ----------------------------------------------------------------------
+
+
+@q(
+    "token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents",
+)
+def q_token_count(sf_dir: str):
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pandas")
+
+
+@q(
+    "text_quality",
+    "SELECT doc_id, "
+    "CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 "
+    "/ length(text)) AS BIGINT) AS alpha_ppm, "
+    "CAST(round(length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) * 1000000.0 "
+    "/ length(text)) AS BIGINT) AS ws_ppm, "
+    "CAST(round((length(text) - length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g'))) * 1000000.0 "
+    "/ len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS mean_token_len_ppm "
+    "FROM documents WHERE length(text) > 0",
+)
+def q_text_quality(sf_dir: str):
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_score, batch_format="pandas")
+    return out
+
+
+@q("lang_id")
+def q_lang_id(sf_dir: str):
+    """Stopword-table language-ID heuristic (actor pool). Rows-only."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 4))
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+
+
+@q("ann_topk")
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Brute-force cosine top-k: queries (vec_id < n_queries) broadcast once,
+    one matmul per batch, batch-local top-k → per-query merge. Rows-only
+    (float-tie rank boundaries make a SQL twin hash-unstable)."""
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.map_batches(
+            lambda df: df[df["vec_id"] < n_queries], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qref = ray.put((qids, qmat))
+    cands = ds.map_batches(
+        BatchTopKCosine,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
+
+    def round_cos(df: pd.DataFrame) -> pd.DataFrame:
+        df["cos"] = df["cos"].round(6)
+        return df
+
+    return out.map_batches(round_cos, batch_format="pandas")
+
+
+@q("embedding_near_dup")
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold). The corpus
+    matrix is broadcast (fits in object store at test scale; LSH/IVF bucket
+    groupby is the stated scale path). Rows-only."""
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = ds.to_pandas().sort_values("vec_id")
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    mat = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, mat))
+    pairs = ds.map_batches(
+        CosinePairsStage,
+        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).to_pandas()
+    if "cos" not in pairs.columns:  # no pair anywhere → schema-less empty ds
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+    pairs["cos"] = pairs["cos"].round(6)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# multimodal plumbing (decode stubbed; see stages/multimodal.py)
+# ----------------------------------------------------------------------
+
+
+@q("multimodal_features")
+def q_multimodal_features(sf_dir: str):
+    """Binary media column → actor-pool feature extraction. The payloads are
+    the documents' utf-8 bytes standing in for image blobs; decode is a
+    deterministic fake (real decoders are NotImplementedError-gated)."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(
+        lambda df: to_media_table(df, "doc_id", "text", "image"),
+        batch_format="pandas",
+    )
+    # small batches: wide binary rows (multimodal memory rule)
+    return media.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# ----------------------------------------------------------------------
+# the codec engine as a query (north-rule invariant with a SQL oracle)
+# ----------------------------------------------------------------------
+
+
+@q(
+    "encode_roundtrip",
+    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def q_encode_roundtrip(sf_dir: str):
+    """Encode the documents table with the per-column codec engine, decode it
+    back, and emit per-row sha256 of the DECODED text — the oracle hashes the
+    source, so a hash match IS the bit-identical round-trip proof."""
+    import hashlib
+
+    from .encode import encode_dataset
+    from .verify import decoded_dataset
+
+    out = tempfile.mkdtemp(prefix="upxr_rt_")
+    encode_dataset(
+        table_path(sf_dir, "documents"),
+        out,
+        partition_by="lang",
+        hash_cols=["doc_id"],
+        target_rows_per_partition=5000,
+    )
+
+    def sha_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_sha": [
+                    hashlib.sha256(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+            }
+        )
+
+    return decoded_dataset(out).map_batches(sha_rows, batch_format="pandas")
+
+
+@q("encode_manifest")
+def q_encode_manifest(sf_dir: str):
+    """Manifest dataset of an encode run over documents: per-partition codec
+    choices, sizes, ratios, lineage. Rows-only."""
+    from .encode import encode_dataset
+
+    out = tempfile.mkdtemp(prefix="upxr_mf_")
+    mdf = encode_dataset(
+        table_path(sf_dir, "documents"),
+        out,
+        partition_by="source",
+        hash_cols=["doc_id"],
+        target_rows_per_partition=5000,
+    ).to_pandas()
+    return mdf.sort_values("partition_id").reset_index(drop=True)

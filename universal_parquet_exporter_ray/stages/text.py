@@ -1,0 +1,104 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language-ID heuristic, rolling-hash fingerprints.
+
+All are vectorized ``map_batches`` bodies (pandas str kernels / numpy); the
+language-ID and fingerprint stages are callable classes so their tables /
+compiled regexes are built once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+
+def token_count(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace tokenization; semantics match DuckDB
+    ``len(regexp_extract_all(text, '\\S+'))``."""
+    out = df[["doc_id"]].copy()
+    out["n_tokens"] = (
+        df[text_col].str.findall(r"\S+").str.len().fillna(0).astype("int64")
+    )
+    return out
+
+
+def _ppm(num: pd.Series, den: pd.Series) -> np.ndarray:
+    """CAST(round(num * 1000000.0 / den) AS BIGINT), half away from zero —
+    identical expression order to the DuckDB oracle so doubles match."""
+    v = num.to_numpy(dtype=np.float64) * 1000000.0 / den.to_numpy(dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Cheap quality signals as parts-per-million integers: alphabetic ratio,
+    whitespace ratio, mean token length (space chars = ``[ \\t\\n\\r]`` to
+    match the SQL twin). Rows with empty text are dropped (oracle:
+    ``WHERE length(text) > 0``)."""
+    keep = df[text_col].str.len() > 0
+    df = df[keep]
+    out = df[["doc_id"]].copy()
+    n = df[text_col].str.len().astype("int64")
+    alpha = df[text_col].str.count(r"[A-Za-z]").astype("int64")
+    ws = df[text_col].str.count(r"[ \t\n\r]").astype("int64")
+    n_tok = df[text_col].str.findall(r"\S+").str.len().astype("int64")
+    out["alpha_ppm"] = _ppm(alpha, n)
+    out["ws_ppm"] = _ppm(ws, n)
+    out["mean_token_len_ppm"] = _ppm(n - ws, n_tok)
+    return out
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "pour", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "que"},
+}
+
+
+class LangIdStage:
+    """n-gram/stopword language-ID heuristic. Actor-pool stage: the stopword
+    tables and the token regex are compiled once per actor in __init__."""
+
+    def __init__(self):
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        preds = []
+        for text in df["text"]:
+            toks = self.word.findall(text.lower()) if isinstance(text, str) else []
+            best, best_score = "unknown", 0
+            for lang in sorted(self.tables):
+                score = sum(t in self.tables[lang] for t in toks)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        out["lang_pred"] = preds
+        return out
+
+
+class FingerprintStage:
+    """Karp–Rabin rolling-hash document fingerprint: min of all k-byte window
+    hashes (winnowing-style robust fingerprint). Deterministic, seedless."""
+
+    def __init__(self, k: int = 8):
+        self.k = k
+        base = np.uint64(1099511628211)
+        self.powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    def _fp(self, text: str) -> int:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        if len(b) < self.k:
+            return zlib.crc32(b.tobytes())
+        win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
+        hashes = (win * self.powers).sum(axis=1, dtype=np.uint64)
+        return int(hashes.min())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        out["fingerprint"] = [format(self._fp(t), "016x") for t in df["text"]]
+        return out

@@ -40,8 +40,8 @@ from .base import (
 ESCAPE = 255
 MAX_SYMBOLS = 254  # codes 0..253; 255 reserved for escape
 MAX_SYMBOL_LEN = 8
-TRAIN_SAMPLE_BYTES = 64 * 1024
-TRAIN_ITERATIONS = 3
+TRAIN_SAMPLE_BYTES = 16 * 1024  # paper trains on small samples; 16 KiB keeps
+TRAIN_ITERATIONS = 3            # per-partition training cost ~0.1 s
 
 
 def _string_buffer(arr: pa.Array) -> tuple[bytes, np.ndarray]:
@@ -129,9 +129,14 @@ def train_table(sample: bytes) -> list[bytes]:
             gains[s] += f * len(s)
         for s, f in pairs.items():
             gains[s] += f * len(s)
-        # deterministic top-k: gain desc, then symbol bytes
-        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        symbols = [s for s, g in ranked[:MAX_SYMBOLS] if g > len(s)]
+        # deterministic top-k: gain desc, then symbol bytes (heap beats a
+        # full sort over ~10⁵ candidate pairs)
+        import heapq
+
+        ranked = heapq.nsmallest(
+            MAX_SYMBOLS, gains.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        symbols = [s for s, g in ranked if g > len(s)]
     return symbols
 
 

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.encoder import PART_COL, MANIFEST_SCHEMA, PartitionEncoder
-from ..stages.salting import AssignPartitions, build_salt_map
+from ..stages.salting import AssignPartitions, build_partition_plan
 from ..state.manifest import completed_partitions, read_manifest, sanitize_partition_id
 
 DatasetLike = Union[str, "ray.data.Dataset"]
@@ -45,6 +45,43 @@ def _to_dataset(source: DatasetLike, columns: Optional[list[str]] = None):
     if isinstance(source, str):
         return ray.data.read_parquet(source, columns=columns)
     return source
+
+
+def default_pool_size() -> int:
+    """Fixed-size actor pool sized to the cluster: CPUs minus headroom for
+    the read/assign tasks (an autoscaling (1, N) pool ramps up too slowly
+    for short jobs)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, cpus - 1)
+
+
+def make_assigner(
+    ds: "ray.data.Dataset",
+    partition_by: Optional[str],
+    hash_cols: list[str],
+    target_rows: int,
+    num_partitions: Optional[int] = None,
+) -> AssignPartitions:
+    """Build the deterministic partition assigner. With ``partition_by``: a
+    column-pruned groupby-count feeds the salt/merge plan (hot keys split,
+    small keys bin-packed); the plan dict broadcasts with the stage closure."""
+    if partition_by is not None:
+        counts = (
+            ds.select_columns([partition_by]).groupby(partition_by).count().to_pandas()
+        )
+        key_counts = dict(
+            zip(counts[partition_by].astype(str), counts["count()"].astype(int))
+        )
+        salt_map, merge_map = build_partition_plan(key_counts, target_rows)
+        assign = AssignPartitions(partition_by, hash_cols, salt_map, 16, merge_map)
+        assign.total_rows = int(sum(key_counts.values()))
+        return assign
+    total = ds.count()
+    if num_partitions is None:
+        num_partitions = max(1, -(-total // target_rows))
+    assign = AssignPartitions(None, hash_cols, None, num_partitions)
+    assign.total_rows = total
+    return assign
 
 
 def encode_dataset(
@@ -65,36 +102,23 @@ def encode_dataset(
     hot values are salted into multiple buckets. ``hash_cols`` break ties
     deterministically (default: first column).
     """
+    from ..context import tune_for_cluster
+
+    tune_for_cluster()
     ds = _to_dataset(source)
     schema = ds.schema()
     if hash_cols is None:
         hash_cols = [schema.names[0]]
 
-    total_rows = ds.count()
-    if total_rows == 0:
+    assign = make_assigner(
+        ds, partition_by, hash_cols, target_rows_per_partition, num_partitions
+    )
+    if assign.total_rows == 0:
         # reference semantic: refuse empty export (parquet_writer.py:10-11)
         raise ValueError("No data to write")
-
-    salt_map: dict[str, int] = {}
-    if partition_by is not None:
-        # tiny stats pass over ONLY the key column → salt map for hot keys
-        counts = (
-            ds.select_columns([partition_by]).groupby(partition_by).count().to_pandas()
-        )
-        salt_map = build_salt_map(
-            dict(zip(counts[partition_by].astype(str), counts["count()"])),
-            target_rows_per_partition,
-        )
-        n_parts_hint = int(sum(salt_map.values()))
-    else:
-        if num_partitions is None:
-            num_partitions = max(1, -(-total_rows // target_rows_per_partition))
-        n_parts_hint = num_partitions
-
-    assign = AssignPartitions(
-        partition_by, hash_cols, salt_map, num_partitions or 16
-    )
-    ds = ds.map_batches(assign, batch_format="pandas")
+    if partition_by is None and num_partitions is None:
+        num_partitions = assign.num_partitions
+    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
     if resume:
         done = completed_partitions(out_dir)
@@ -129,7 +153,7 @@ def encode_dataset(
         PartitionEncoder,
         fn_constructor_kwargs={"out_dir": out_dir, "lineage": full_lineage},
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or default_pool_size(),
     )
     # materialize the (tiny — one row per partition) manifest so the encode
     # actually executes; the big data only ever streamed through workers.

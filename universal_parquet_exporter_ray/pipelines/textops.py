@@ -20,13 +20,7 @@ from ray.data.aggregate import Count, Min
 
 from ..sources import load_table, table_path
 from ..stages.ann import BatchTopKCosine, CosinePairsStage, _normalize, final_topk
-from ..stages.dedup import (
-    MinHashBandStage,
-    SimHashStage,
-    bucket_to_pairs,
-    content_sha,
-    exact_jaccard,
-)
+from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
 from ..stages.text import FingerprintStage, LangIdStage, quality_score, token_count
 
@@ -78,14 +72,42 @@ def q_minhash_lsh_pairs(sf_dir: str):
     docs via a broadcast id-filter."""
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
     bands = docs.map_batches(
-        MinHashBandStage, batch_format="pandas", concurrency=(1, 4)
-    )
-    pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_to_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+        MinHashBandStage, batch_format="pandas", concurrency=4
+    ).materialize()  # small (16 rows/doc) intermediate, reused twice
+    # only buckets holding ≥2 docs can produce pairs. Per-batch PARTIAL
+    # bucket counts (combiner) shrink what leaves the workers; the final
+    # merge over distinct keys is driver-side here (small at test scale —
+    # at 100 TB the same partials feed a groupby instead; never a
+    # per-bucket map_groups over millions of singleton buckets).
+    partial = bands.map_batches(
+        lambda df: df.groupby(["band", "band_hash"], sort=False)
+        .size()
+        .rename("n")
+        .reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = partial.groupby(["band", "band_hash"], sort=False)["n"].sum()
+    dup = totals[totals > 1].reset_index()
+    if len(dup) == 0:
+        pairs = pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+    else:
+        dupset = set(zip(dup["band"].astype(int), dup["band_hash"].astype(np.uint64)))
+
+        def in_dup(df: pd.DataFrame) -> pd.DataFrame:
+            mask = [
+                (b, h) in dupset
+                for b, h in zip(df["band"].astype(int), df["band_hash"].astype(np.uint64))
+            ]
+            return df[np.array(mask, dtype=bool)]
+
+        cand = bands.map_batches(in_dup, batch_format="pandas").to_pandas()
+        m = cand.merge(cand, on=["band", "band_hash"])
+        m = m[m.doc_id_x < m.doc_id_y]
+        pairs = (
+            m[["doc_id_x", "doc_id_y"]]
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+            .drop_duplicates()
+        )
     if len(pairs) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
@@ -99,8 +121,13 @@ def q_minhash_lsh_pairs(sf_dir: str):
         .set_index("doc_id")["text"]
         .to_dict()
     )
+    # shingle sets computed once per candidate DOC, reused across its pairs
+    from ..stages.dedup import jaccard_from_sets, word_shingle_hashes
+
+    shingles = {i: word_shingle_hashes(t) for i, t in texts.items()}
     jac = [
-        exact_jaccard(texts[a], texts[b]) for a, b in zip(pairs.doc_a, pairs.doc_b)
+        jaccard_from_sets(shingles[a], shingles[b])
+        for a, b in zip(pairs.doc_a, pairs.doc_b)
     ]
     pairs = pairs.assign(jaccard=np.round(jac, 6))
     out = pairs[pairs.jaccard >= 0.5].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

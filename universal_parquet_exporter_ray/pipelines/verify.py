@@ -24,9 +24,8 @@ import pandas as pd
 import ray.data
 
 from ..stages.encoder import PART_COL, PartitionDecoder
-from ..stages.salting import AssignPartitions, build_salt_map
 from ..state.manifest import read_manifest, sanitize_partition_id
-from .encode import read_encoded
+from .encode import default_pool_size, make_assigner, read_encoded
 
 MASK64 = (1 << 64) - 1
 
@@ -107,7 +106,9 @@ def decoded_dataset(out_dir: str) -> "ray.data.Dataset":
     return (
         read_encoded(out_dir)
         .groupby("partition_id")
-        .map_groups(PartitionDecoder, batch_format="pyarrow", concurrency=(1, 8))
+        .map_groups(
+            PartitionDecoder, batch_format="pyarrow", concurrency=default_pool_size()
+        )
     )
 
 
@@ -121,31 +122,18 @@ def verify_roundtrip(
     ds = source if not isinstance(source, str) else ray.data.read_parquet(source)
     if content_col is None:
         content_col = _default_content_col(ds.schema().names)
-    salt_map = {}
-    if lineage.get("partition_by"):
-        counts = (
-            ds.select_columns([lineage["partition_by"]])
-            .groupby(lineage["partition_by"])
-            .count()
-            .to_pandas()
-        )
-        salt_map = build_salt_map(
-            dict(
-                zip(
-                    counts[lineage["partition_by"]].astype(str),
-                    counts["count()"],
-                )
-            ),
-            int(lineage["target_rows"]),
-        )
-    assign = AssignPartitions(
+    # reconstruct the identical deterministic assignment from lineage
+    assign = make_assigner(
+        ds,
         lineage.get("partition_by"),
         list(lineage["hash_cols"]),
-        salt_map,
-        int(lineage.get("num_partitions") or 16),
+        int(lineage["target_rows"]),
+        lineage.get("num_partitions"),
     )
     src_fp = dataset_fingerprints(
-        ds.map_batches(assign, batch_format="pandas"), content_col, sanitize_ids=True
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        content_col,
+        sanitize_ids=True,
     )
     dec_fp = dataset_fingerprints(decoded_dataset(out_dir), content_col, sanitize_ids=False)
     merged = src_fp.merge(dec_fp, on="pid", how="outer", suffixes=("_src", "_dec"))

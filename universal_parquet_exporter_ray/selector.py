@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .codecs.base import combine, get_codec, is_int_like, is_string_like
 from .stats import ColumnStats, column_stats
@@ -40,8 +41,13 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
         if stats.avg_run_len >= 1.5:
             cands.append("rle")
         # FSST pays off on shortish strings with sub-maximal byte entropy;
-        # skip the slow trial when the column is essentially random bytes.
-        if stats.byte_entropy < 6.5 and stats.avg_len <= 4096:
+        # skip the slow trial when the column is essentially random bytes OR
+        # low-cardinality enough that dictionary encoding dominates anyway.
+        if (
+            stats.byte_entropy < 6.5
+            and stats.avg_len <= 4096
+            and stats.n_distinct > 64
+        ):
             cands.append("fsst")
             cands.append("fsst_zstd")
         cands.append("zstd")
@@ -62,9 +68,29 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
     return cands
 
 
+TRIAL_STRING_BYTES = 64 * 1024
+TRIAL_MIN_ROWS = 64
+
+
+def _cap_string_sample(sample: pa.Array) -> pa.Array:
+    """Cap a string trial sample by BYTES, not rows: FSST/zstd trial cost is
+    linear in bytes and a 2048-row code-text sample can be megabytes."""
+    lens = pc.binary_length(sample).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(lens)
+    k = int(np.searchsorted(cum, TRIAL_STRING_BYTES)) + 1
+    k = max(TRIAL_MIN_ROWS, min(k, len(sample)))
+    return sample.slice(0, k)
+
+
 def select_codec(
-    arr: pa.Array | pa.ChunkedArray, stats: Optional[ColumnStats] = None
+    arr: pa.Array | pa.ChunkedArray,
+    stats: Optional[ColumnStats] = None,
+    fsst_state: Optional[list] = None,
 ) -> CodecChoice:
+    """``fsst_state``: a previously trained symbol table to reuse for the
+    fsst trial instead of retraining (encoder actors cache tables across
+    partitions of the same column; every chunk stores its own table, so a
+    stale table costs ratio, never correctness)."""
     arr = combine(arr)
     if stats is None:
         stats = column_stats(arr)
@@ -78,17 +104,48 @@ def select_codec(
     sample_nn = sample.drop_null() if sample.null_count else sample
     if len(sample_nn) == 0:
         return CodecChoice("plain", None, 0, stats)
+    if is_string_like(arr.type):
+        sample_nn = _cap_string_sample(sample_nn)
+    names = candidate_codecs(arr.type, stats)
     best_name, best_state, best_size = "plain", None, None
-    for name in candidate_codecs(arr.type, stats):
+
+    def consider(name: str, state, size: float):
+        nonlocal best_name, best_state, best_size
+        if best_size is None or size < best_size:
+            best_name, best_state, best_size = name, state, int(size)
+
+    # fsst and fsst_zstd share one trial encode (the expensive pure-Python
+    # pass): fsst_zstd's size is estimated by zstd-compressing the fsst
+    # output buffer, not by a second full encode.
+    fsst_pair = "fsst" in names and "fsst_zstd" in names
+    for name in names:
+        if fsst_pair and name == "fsst_zstd":
+            continue
         codec = get_codec(name)
         try:
-            state = codec.train(sample_nn)
+            if name == "fsst" and fsst_state is not None:
+                state = fsst_state
+            else:
+                state = codec.train(sample_nn)
             enc = codec.encode(sample_nn, state=state)
-            size = int(len(enc.payload) * codec.cost_factor)
+            size = len(enc.payload) * codec.cost_factor
         except Exception:
             continue
-        if best_size is None or size < best_size:
-            best_name, best_state, best_size = name, state, size
+        consider(name, state, size)
+        if fsst_pair and name == "fsst":
+            try:
+                from .codecs.base import unpack_blobs
+
+                blobs = unpack_blobs(enc.payload)
+                zdata = pa.Codec("zstd", compression_level=6).compress(
+                    blobs["data"], asbytes=True
+                )
+                est = (len(enc.payload) - len(blobs["data"]) + len(zdata)) * get_codec(
+                    "fsst_zstd"
+                ).cost_factor
+                consider("fsst_zstd", state, est)
+            except Exception:
+                pass
     if best_size is None:
         enc = get_codec("plain").encode(sample_nn)
         best_size = len(enc.payload)

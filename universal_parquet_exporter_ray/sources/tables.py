@@ -30,4 +30,7 @@ def load_table(
     sf_dir: str, name: str, columns: Optional[list[str]] = None
 ) -> "ray.data.Dataset":
     """Column-pruned Parquet scan of one logical table."""
+    from ..context import tune_for_cluster
+
+    tune_for_cluster()
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)

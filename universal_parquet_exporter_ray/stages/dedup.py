@@ -32,12 +32,28 @@ def _perm_constants(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-byte shingle hashes of a document (uint64)."""
+    """Distinct k-byte (character) shingle hashes of a document (uint64)."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)))
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
     powers = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
+
+
+def word_shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Distinct word w-gram shingle hashes (uint64). Word-level shingling is
+    the standard choice for near-dup over natural/code text: character
+    k-grams over a small vocabulary give every doc pair a high baseline
+    Jaccard and flood LSH with false candidates."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    th = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy(np.uint64)
+    if len(th) < w:
+        th = np.pad(th, (0, w - len(th)))
+    win = np.lib.stride_tricks.sliding_window_view(th, w)
+    powers = np.uint64(1099511628211) ** np.arange(w, dtype=np.uint64)
     return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
 
 
@@ -52,37 +68,61 @@ class MinHashBandStage:
 
     Permutation constants are built once per actor (__init__)."""
 
-    def __init__(self, k: int = 5, text_col: str = "text"):
+    def __init__(self, k: int = 3, text_col: str = "text", shingle: str = "word"):
         self.a, self.b = _perm_constants()
         self.k = k
         self.text_col = text_col
+        self.shingler = word_shingle_hashes if shingle == "word" else shingle_hashes
 
     def signature(self, text: str) -> np.ndarray:
-        h = shingle_hashes(text, self.k)
+        h = self.shingler(text, self.k)
         # (a*h + b) mod p, min over shingles, per permutation
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % MERSENNE
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]  # mod 2^64
         return vals.min(axis=1)
 
+    def signatures(self, texts) -> np.ndarray:
+        """Batch-vectorized signatures: one permutation pass over the
+        CONCATENATED shingle array with ``np.minimum.reduceat`` per-doc
+        reduction (beats a per-doc loop by >10×)."""
+        hash_lists = [
+            self.shingler(t if isinstance(t, str) else "", self.k) for t in texts
+        ]
+        sizes = np.array([len(h) for h in hash_lists], dtype=np.int64)
+        H = np.concatenate(hash_lists)
+        bounds = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        sigs = np.empty((len(sizes), N_PERMS), dtype=np.uint64)
+        chunk = 16  # bounded temporaries: (chunk, total_shingles) per pass
+        for i0 in range(0, N_PERMS, chunk):
+            a = self.a[i0 : i0 + chunk][:, None]
+            b = self.b[i0 : i0 + chunk][:, None]
+            vals = a * H[None, :] + b  # wraparound mod 2^64 (cheap, sound for minhash)
+            sigs[:, i0 : i0 + chunk] = np.minimum.reduceat(vals, bounds, axis=1).T
+        return sigs
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(df)
         n_bands = N_PERMS // BAND_ROWS
-        ids, bands, bhashes = [], [], []
-        for doc_id, text in zip(df["doc_id"], df[self.text_col]):
-            sig = self.signature(text if isinstance(text, str) else "")
-            for band in range(n_bands):
-                chunk = sig[band * BAND_ROWS : (band + 1) * BAND_ROWS]
-                bh = int(
-                    np.frombuffer(
-                        hashlib.sha1(chunk.tobytes()).digest()[:8], dtype=np.uint64
-                    )[0]
-                )
-                ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(bh)
+        if n_docs == 0:
+            return pd.DataFrame(
+                {
+                    "band": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="uint64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        sigs = self.signatures(df[self.text_col])
+        # FNV-1a-style vectorized band mixing (deterministic)
+        s3 = sigs.reshape(n_docs, n_bands, BAND_ROWS)
+        bh = np.full((n_docs, n_bands), 1469598103934665603, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for r in range(BAND_ROWS):
+            bh = (bh ^ s3[:, :, r]) * prime
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "band": np.array(bands, dtype=np.int64),
-                "band_hash": np.array(bhashes, dtype=np.uint64),
-                "doc_id": np.array(ids, dtype=np.int64),
+                "band": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
+                "band_hash": bh.ravel(),
+                "doc_id": np.repeat(doc_ids, n_bands),
             }
         )
 
@@ -96,8 +136,14 @@ def bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
 
-def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = word_shingle_hashes(text_a, k), word_shingle_hashes(text_b, k)
+    return jaccard_from_sets(sa, sb)
+
+
+def jaccard_from_sets(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard of two precomputed (unique, sorted) shingle-hash arrays —
+    precompute per DOC, not per pair, when verifying many candidates."""
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / union if union else 1.0

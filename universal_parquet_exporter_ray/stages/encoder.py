@@ -66,9 +66,22 @@ class PartitionEncoder:
     """Encode one partition group → write ``parts/<pid>/data.parquet`` +
     ``manifest/<pid>.parquet`` atomically → emit the manifest row."""
 
+    FSST_CACHE_REFRESH = 16  # retrain a cached symbol table every N partitions
+
     def __init__(self, out_dir: str, lineage: dict | None = None):
         self.out_dir = out_dir
         self.lineage = lineage or {}
+        # per-actor FSST symbol-table cache: column → (table, uses). Every
+        # encoded chunk stores its own table, so reuse across partitions is
+        # correctness-neutral; periodic refresh bounds ratio drift.
+        self._fsst_cache: dict[str, tuple[list, int]] = {}
+
+    def _cached_fsst(self, column: str):
+        entry = self._fsst_cache.get(column)
+        if entry is None or entry[1] >= self.FSST_CACHE_REFRESH:
+            return None
+        self._fsst_cache[column] = (entry[0], entry[1] + 1)
+        return entry[0]
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -79,7 +92,10 @@ class PartitionEncoder:
         codec_map: dict[str, str] = {}
         for name in data.column_names:
             arr = data[name].combine_chunks()
-            choice = select_codec(arr)
+            choice = select_codec(arr, fsst_state=self._cached_fsst(name))
+            if choice.codec.startswith("fsst") and isinstance(choice.state, list):
+                if name not in self._fsst_cache or self._fsst_cache[name][0] is not choice.state:
+                    self._fsst_cache[name] = (choice.state, 0)
             try:
                 row = encode_column(arr, choice.codec, choice.state)
             except Exception:

@@ -159,3 +159,34 @@ def write_source_files(
         pq.write_table(t, tmp, row_group_size=row_group_size)
         os.replace(tmp, path)
     return path
+
+
+def write_source_files_parallel(
+    dir_path: str, rows: int, seed: int = 42, chunk_rows: int = 200_000
+) -> str:
+    """Large fixtures: generate deterministic chunks as parallel Ray tasks
+    into a DIRECTORY of parquet files (chunk i uses seed+i, so output is
+    identical regardless of parallelism). Requires an initialised Ray."""
+    done_marker = os.path.join(dir_path, "_DONE")
+    if os.path.exists(done_marker):
+        return dir_path
+    import ray
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    @ray.remote
+    def gen_chunk(i: int, n: int) -> str:
+        p = os.path.join(dir_path, f"chunk_{i:04d}.parquet")
+        if not os.path.exists(p):
+            t = generate_source_files(n, seed=seed + i)
+            tmp = p + f".tmp{os.getpid()}"
+            pq.write_table(t, tmp, row_group_size=50_000)
+            os.replace(tmp, p)
+        return p
+
+    n_chunks = -(-rows // chunk_rows)
+    sizes = [chunk_rows] * (n_chunks - 1) + [rows - chunk_rows * (n_chunks - 1)]
+    ray.get([gen_chunk.remote(i, n) for i, n in enumerate(sizes)])
+    with open(done_marker, "w") as f:
+        f.write(str(rows))
+    return dir_path

@@ -66,12 +66,27 @@ def make_assigner(
     column-pruned groupby-count feeds the salt/merge plan (hot keys split,
     small keys bin-packed); the plan dict broadcasts with the stage closure."""
     if partition_by is not None:
-        counts = (
-            ds.select_columns([partition_by]).groupby(partition_by).count().to_pandas()
+        # per-batch partial value_counts (combiner) + tiny driver merge — a
+        # full groupby shuffle for a single count column costs seconds of
+        # fixed coordination. The partials are one row per distinct key per
+        # batch; at extreme key cardinality swap the merge for a groupby
+        # over the same partials.
+        import pandas as pd
+
+        partials = (
+            ds.select_columns([partition_by])
+            .map_batches(
+                lambda df: df[partition_by]
+                .astype(str)
+                .value_counts()
+                .rename_axis("k")
+                .rename("n")
+                .reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
         )
-        key_counts = dict(
-            zip(counts[partition_by].astype(str), counts["count()"].astype(int))
-        )
+        key_counts = partials.groupby("k", sort=False)["n"].sum().astype(int).to_dict()
         salt_map, merge_map = build_partition_plan(key_counts, target_rows)
         assign = AssignPartitions(partition_by, hash_cols, salt_map, 16, merge_map)
         assign.total_rows = int(sum(key_counts.values()))
@@ -95,12 +110,22 @@ def encode_dataset(
     resume: bool = True,
     concurrency: Optional[int] = None,
     lineage: Optional[dict] = None,
+    shuffle: str = "exchange",
 ) -> "ray.data.Dataset":
     """Encode ``source`` into ``out_dir``; returns the manifest Dataset.
 
     ``partition_by``: column giving partitions locality (e.g. ``repo``);
     hot values are salted into multiple buckets. ``hash_cols`` break ties
     deterministically (default: first column).
+
+    ``shuffle``: the all-to-all exchange implementation.
+    - ``"exchange"`` (default): map-side hash split → per-partition Arrow IPC
+      chunk files → one encode task per partition (external shuffle via
+      shared storage; see stages/exchange.py). Scales linearly with workers
+      and avoids the sort machinery's coordination cost.
+    - ``"groupby"``: Ray Data's native ``groupby(_part).map_groups`` sort
+      shuffle (the north-rule reference shape, kept as the pure-Dataset-API
+      path).
     """
     from ..context import tune_for_cluster
 
@@ -118,23 +143,17 @@ def encode_dataset(
         raise ValueError("No data to write")
     if partition_by is None and num_partitions is None:
         num_partitions = assign.num_partitions
-    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
-    if resume:
-        done = completed_partitions(out_dir)
-        if done:
-            raw_done = set(done)
+    done_set: set = completed_partitions(out_dir) if resume else set()
 
-            def drop_done(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                keep = [
-                    sanitize_partition_id(v) not in raw_done
-                    for v in batch[PART_COL].to_pylist()
-                ]
-                return batch.filter(pa.array(keep))
-
-            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    def drop_done(batch: pa.Table) -> pa.Table:
+        if not done_set:
+            return batch
+        keep = [
+            sanitize_partition_id(v) not in done_set
+            for v in batch[PART_COL].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
 
     src_desc = source if isinstance(source, str) else "<dataset>"
     full_lineage = {
@@ -147,18 +166,98 @@ def encode_dataset(
         "target_rows": target_rows_per_partition,
         "num_partitions": num_partitions,
     }
-    # callable CLASS → actor pool: codec registry + lineage built once per
-    # actor, reused across all partitions that actor encodes
-    manifest = ds.groupby(PART_COL).map_groups(
-        PartitionEncoder,
-        fn_constructor_kwargs={"out_dir": out_dir, "lineage": full_lineage},
-        batch_format="pyarrow",
-        concurrency=concurrency or default_pool_size(),
-    )
-    # materialize the (tiny — one row per partition) manifest so the encode
-    # actually executes; the big data only ever streamed through workers.
-    mrows = manifest.to_pandas()
-    del mrows
+    pool = concurrency or default_pool_size()
+    if shuffle == "groupby":
+        assigned = ds.map_batches(
+            lambda b: drop_done(assign(b)), batch_format="pyarrow", zero_copy_batch=True
+        )
+        # callable CLASS → actor pool: codec registry + lineage built once
+        # per actor, reused across all partitions that actor encodes
+        manifest = assigned.groupby(PART_COL).map_groups(
+            PartitionEncoder,
+            fn_constructor_kwargs={"out_dir": out_dir, "lineage": full_lineage},
+            batch_format="pyarrow",
+            concurrency=pool,
+        )
+        # materialize the (tiny — one row per partition) manifest so the
+        # encode executes; big data only ever streams through workers.
+        manifest.to_pandas()
+    elif shuffle == "exchange":
+        import shutil
+
+        from ..stages.exchange import ExchangeEncoder, SpillPartitions
+
+        # exchange chunks are transient shuffle traffic: prefer memory-backed
+        # storage (the single-node stand-in for a cluster's object store /
+        # fast shuffle tier); fall back to the output directory's filesystem
+        if os.path.isdir("/dev/shm"):
+            exchange_dir = os.path.join(
+                "/dev/shm",
+                "upxr_exchange",
+                sanitize_partition_id(os.path.abspath(out_dir)),
+            )
+        else:
+            exchange_dir = os.path.join(out_dir, "_exchange")
+        shutil.rmtree(exchange_dir, ignore_errors=True)
+        os.makedirs(exchange_dir, exist_ok=True)
+        spiller = SpillPartitions(exchange_dir)
+
+        def spill(batch):
+            # fused assign→filter→split→spill: the assigned rows never
+            # re-enter the object store between operators
+            return spiller(drop_done(assign(batch)))
+
+        acks = ds.map_batches(
+            spill, batch_format="pyarrow", zero_copy_batch=True, batch_size=100_000
+        )
+        acks.to_pandas()  # barrier: all chunk files on disk (acks are tiny)
+        pids = sorted(
+            p
+            for p in os.listdir(exchange_dir)
+            if os.path.isdir(os.path.join(exchange_dir, p)) and p not in done_set
+        )
+        if pids:
+            # LPT bin-packing: partitions are grouped into exactly `pool`
+            # byte-balanced tasks (largest-first onto the least-loaded bin)
+            # so one wave of workers finishes together — per-pid tasks pay
+            # dispatch overhead and ragged waves leave stragglers.
+            sizes = []
+            for p in pids:
+                d = os.path.join(exchange_dir, p)
+                sizes.append(
+                    sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d)
+                        if f.endswith(".arrow")
+                    )
+                )
+            # pool×3 bins: byte-balanced AND small enough that the pool can
+            # work-steal around stragglers (a single wave has no slack)
+            order = sorted(range(len(pids)), key=lambda i: -sizes[i])
+            n_bins = max(1, min(pool * 3, len(pids)))
+            bins: list[list[str]] = [[] for _ in range(n_bins)]
+            loads = [0] * n_bins
+            for i in order:
+                j = loads.index(min(loads))
+                bins[j].append(pids[i])
+                loads[j] += sizes[i]
+            items = [{"pids": b} for b in bins if b]
+            pid_ds = ray.data.from_items(items, override_num_blocks=len(items))
+            manifest = pid_ds.map_batches(
+                ExchangeEncoder,
+                fn_constructor_kwargs={
+                    "out_dir": out_dir,
+                    "exchange_dir": exchange_dir,
+                    "lineage": full_lineage,
+                },
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=min(pool, len(items)),
+            )
+            manifest.to_pandas()
+        shutil.rmtree(exchange_dir, ignore_errors=True)
+    else:
+        raise ValueError(f"unknown shuffle mode {shuffle!r}")
     os.makedirs(out_dir, exist_ok=True)
     return ray.data.from_arrow(read_manifest(out_dir).cast(MANIFEST_SCHEMA))
 

@@ -83,11 +83,11 @@ class PartitionEncoder:
         self._fsst_cache[column] = (entry[0], entry[1] + 1)
         return entry[0]
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def encode_partition(self, data: pa.Table, raw_pid: str) -> pa.Table:
+        """Encode one partition table (no PART_COL) → write data + manifest
+        atomically → return the manifest row."""
         t0 = time.monotonic()
-        raw_pid = str(group[PART_COL][0].as_py())
         pid = sanitize_partition_id(raw_pid)
-        data = group.drop_columns([PART_COL])
         rows = []
         codec_map: dict[str, str] = {}
         for name in data.column_names:
@@ -127,6 +127,10 @@ class PartitionEncoder:
         mtable = pa.Table.from_pylist([manifest_row], schema=MANIFEST_SCHEMA)
         write_atomic_parquet(mtable, os.path.join(manifest_path(self.out_dir), f"{pid}.parquet"))
         return mtable
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        raw_pid = str(group[PART_COL][0].as_py())
+        return self.encode_partition(group.drop_columns([PART_COL]), raw_pid)
 
 
 class PartitionDecoder:

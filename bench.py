@@ -82,7 +82,7 @@ def run_bench() -> dict:
         partition_by="repo",
         hash_cols=["path"],
         target_rows_per_partition=max(2000, BENCH_ROWS // 64),
-        concurrency=(1, NUM_CPUS),
+        concurrency=max(1, NUM_CPUS - 2),
     ).to_pandas()
     timings["encode_source_files"] = time.perf_counter() - t0
     uncompressed = int(manifest.input_bytes.sum())

@@ -167,6 +167,8 @@ def encode_dataset(
         "num_partitions": num_partitions,
     }
     pool = concurrency or default_pool_size()
+    if isinstance(pool, tuple):  # (min, max) autoscaling form → fixed max
+        pool = pool[-1]
     if shuffle == "groupby":
         assigned = ds.map_batches(
             lambda b: drop_done(assign(b)), batch_format="pyarrow", zero_copy_batch=True

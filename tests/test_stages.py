@@ -1,0 +1,204 @@
+"""Unit tests for stage components: salting plan, exchange split, dedup
+(minhash/simhash/jaccard), text analysis, ANN, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from universal_parquet_exporter_ray.stages.dedup import (
+    MinHashBandStage,
+    SimHashStage,
+    jaccard_from_sets,
+    word_shingle_hashes,
+)
+from universal_parquet_exporter_ray.stages.multimodal import (
+    MediaDecodeStage,
+    to_media_table,
+)
+from universal_parquet_exporter_ray.stages.salting import (
+    AssignPartitions,
+    build_partition_plan,
+)
+from universal_parquet_exporter_ray.stages.text import (
+    FingerprintStage,
+    LangIdStage,
+    quality_score,
+    token_count,
+)
+
+
+# ---- salting / partition plan ------------------------------------------
+
+
+def test_partition_plan_splits_hot_and_merges_small():
+    counts = {"mono": 10_000, "mid": 800, **{f"tiny{i}": 10 for i in range(50)}}
+    salt, merge = build_partition_plan(counts, target_rows=1000)
+    assert salt["mono"] == 10
+    assert "mid" not in salt and "mid" not in merge
+    assert all(f"tiny{i}" in merge for i in range(50))
+    # bin-packed: 50 keys × 10 rows → 1 shared bucket
+    assert len(set(merge.values())) == 1
+
+
+def test_assign_partitions_deterministic_across_processes():
+    df = pa.table(
+        {
+            "repo": ["a", "a", "b", "c", "c", "c"],
+            "path": [f"p{i}" for i in range(6)],
+            "x": list(range(6)),
+        }
+    )
+    assign = AssignPartitions("repo", ["path"], {"c": 2}, merge_map={"b": "sm0"})
+    out1 = assign(df)["_part"].to_pylist()
+    out2 = assign(df)["_part"].to_pylist()
+    assert out1 == out2
+    assert out1[0] == "a#0" and out1[2] == "sm0"
+    assert all(p in ("c#0", "c#1") for p in out1[3:])
+
+
+def test_assign_hash_mode_balanced():
+    n = 10_000
+    df = pa.table({"k": [f"key{i}" for i in range(n)]})
+    assign = AssignPartitions(None, ["k"], num_partitions=8)
+    parts = pd.Series(assign(df)["_part"].to_pylist())
+    sizes = parts.value_counts()
+    assert len(sizes) == 8
+    assert sizes.max() < n / 8 * 1.2
+
+
+# ---- dedup -------------------------------------------------------------
+
+
+def test_minhash_similar_docs_share_bands():
+    st = MinHashBandStage()
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words entirely unrelated text " * 20
+    sigs = st.signatures([base, near, far])
+    sim_near = (sigs[0] == sigs[1]).mean()
+    sim_far = (sigs[0] == sigs[2]).mean()
+    # signature agreement estimates true Jaccard (0.75 here)
+    true_j = jaccard_from_sets(word_shingle_hashes(base), word_shingle_hashes(near))
+    assert abs(sim_near - true_j) < 0.2
+    assert sim_near > 0.5 > sim_far
+
+
+def test_minhash_band_rows_shape():
+    st = MinHashBandStage()
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f", "x y z w v u"]})
+    out = st(df)
+    assert len(out) == 2 * 16
+    assert set(out.columns) == {"band", "band_hash", "doc_id"}
+
+
+def test_jaccard_exact():
+    a = word_shingle_hashes("a b c d e")
+    b = word_shingle_hashes("a b c d e")
+    c = word_shingle_hashes("q r s t u")
+    assert jaccard_from_sets(a, b) == 1.0
+    assert jaccard_from_sets(a, c) == 0.0
+
+
+def test_simhash_near_duplicates_close():
+    s = SimHashStage.simhash64
+    base = "one two three four five six seven eight " * 10
+    near = base.replace("five", "5", 1)
+    far = "alpha beta gamma delta " * 10
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+    assert hamming(s(base), s(near)) < hamming(s(base), s(far))
+    assert s("") == 0
+
+
+# ---- text analysis -----------------------------------------------------
+
+
+def test_token_count_matches_whitespace_semantics():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "  ", "one"]})
+    out = token_count(df)
+    assert out.n_tokens.tolist() == [3, 0, 1]
+
+
+def test_quality_score_ppm():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["abcd", ""]})
+    out = quality_score(df)
+    assert len(out) == 1  # empty text dropped (oracle: length(text) > 0)
+    assert out.alpha_ppm.iloc[0] == 1_000_000
+
+
+def test_langid_picks_english():
+    st = LangIdStage()
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the cat and the dog of a house", "xyzzy qwerty"]}
+    )
+    out = st(df)
+    assert out.lang_pred.tolist()[0] == "en"
+    assert out.lang_pred.tolist()[1] == "unknown"
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    st = FingerprintStage()
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world " * 10, "hello world " * 10]})
+    out = st(df)
+    assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
+    df2 = pd.DataFrame({"doc_id": [3], "text": ["entirely different content here"]})
+    assert st(df2).fingerprint.iloc[0] != out.fingerprint.iloc[0]
+
+
+# ---- multimodal --------------------------------------------------------
+
+
+def test_media_table_and_fake_decode():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["img-one", "img-two"]})
+    media = to_media_table(df, "doc_id", "text", "image")
+    assert media.schema.field("payload").type == pa.large_binary()
+    stage = MediaDecodeStage(fake=True)
+    out = stage(media)
+    feats = out["feature"].to_pylist()
+    assert len(feats[0]) == 8
+    # deterministic
+    assert stage(media)["feature"].to_pylist() == feats
+
+
+def test_media_decode_real_path_not_implemented():
+    stage = MediaDecodeStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        stage._decode(b"payload")
+
+
+# ---- exchange spill ----------------------------------------------------
+
+
+def test_spill_partitions_idempotent(tmp_path):
+    from universal_parquet_exporter_ray.stages.exchange import (
+        SpillPartitions,
+        read_ipc_table,
+    )
+    import os
+
+    exdir = str(tmp_path / "ex")
+    os.makedirs(exdir)
+    batch = pa.table(
+        {
+            "_part": ["a", "b", "a", "b", "a"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    sp = SpillPartitions(exdir)
+    ack1 = sp(batch)
+    files_before = {
+        p: sorted(os.listdir(os.path.join(exdir, p))) for p in os.listdir(exdir)
+    }
+    sp(batch)  # retry → identical content-addressed files, no duplicates
+    files_after = {
+        p: sorted(os.listdir(os.path.join(exdir, p))) for p in os.listdir(exdir)
+    }
+    assert files_before == files_after
+    assert sorted(ack1["pid"].to_pylist())[0].startswith("a-")
+    a_dir = [p for p in os.listdir(exdir) if p.startswith("a-")][0]
+    chunk = [f for f in os.listdir(os.path.join(exdir, a_dir)) if f.endswith(".arrow")][0]
+    t = read_ipc_table(os.path.join(exdir, a_dir, chunk))
+    assert t["v"].to_pylist() == [1, 3, 5]

@@ -586,6 +586,57 @@ def q_cte_share(sf_dir: str):
 
 
 @q(
+    "union_all",
+    "SELECT o_orderkey, o_totalprice, 'high' AS tier FROM orders WHERE o_totalprice > 250000 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_totalprice, 'low' AS tier FROM orders WHERE o_totalprice < 1000",
+)
+def q_union_all(sf_dir: str):
+    # set op: Dataset.union of two filtered branches (SURVEY §2.7)
+    def branch(pred, tier):
+        ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pred(t))
+            return t.append_column("tier", pa.array([tier] * t.num_rows))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    hi = branch(lambda t: pc.greater(t["o_totalprice"], 250000.0), "high")
+    lo = branch(lambda t: pc.less(t["o_totalprice"], 1000.0), "low")
+    return hi.union(lo)
+
+
+@q(
+    "sessionization",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) "
+    "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events "
+    "FROM g GROUP BY user_id",
+)
+def q_sessionization(sf_dir: str):
+    # §2.9 streaming-shaped: session windows (30-min gap) via
+    # groupby(key).map_groups over ts-sorted groups — the engine's pattern
+    # for event-time windowing over a partitioned log.
+    ds = load_table(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": np.array([int(new_s.sum())], dtype=np.int64),
+                "n_events": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@q(
     "window_agg",
     "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
     "CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_dm FROM events GROUP BY 1, 2",

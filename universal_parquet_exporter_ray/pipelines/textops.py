@@ -250,6 +250,38 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+@q("ann_ivf_topk")
+def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16):
+    """IVF-bucketed approximate top-k (the scale path for ann_topk): a
+    deterministic k-means coarse quantizer fit driver-side on a sample,
+    centroids broadcast; each batch scores only vectors in a query's nprobe
+    nearest buckets. Approximate → rows-only check."""
+    from ..stages.ann import IvfTopKCosine, kmeans_fit
+
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = ds.to_pandas().sort_values("vec_id")  # test-scale sample = all
+    mat = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(np.float64))
+    centroids = kmeans_fit(mat, n_clusters)
+    qdf = corpus[corpus["vec_id"] < n_queries]
+    qids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qref = ray.put((qids, qmat))
+    cref = ray.put(centroids)
+    cands = ds.map_batches(
+        IvfTopKCosine,
+        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": cref, "k": k},
+        batch_format="pandas",
+        concurrency=4,
+    )
+    out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
+
+    def round_cos(df: pd.DataFrame) -> pd.DataFrame:
+        df["cos"] = df["cos"].round(6)
+        return df
+
+    return out.map_batches(round_cos, batch_format="pandas")
+
+
 # ----------------------------------------------------------------------
 # multimodal plumbing (decode stubbed; see stages/multimodal.py)
 # ----------------------------------------------------------------------

@@ -73,6 +73,67 @@ def final_topk(k: int):
     return reduce
 
 
+def kmeans_fit(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means (strided init, fixed iterations) —
+    the IVF coarse quantizer. Fit on a sample on the driver; centroids
+    broadcast to the assign/search stages."""
+    mat = _normalize(mat)
+    idx = np.linspace(0, len(mat) - 1, k).astype(np.int64)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+class IvfTopKCosine:
+    """IVF-bucketed ANN: each batch's vectors are coarse-quantized against
+    the broadcast centroids; a query only scores vectors whose bucket is in
+    its ``nprobe`` nearest buckets. Same emit shape as ``BatchTopKCosine``
+    (batch-local candidates → per-query merge), but each batch scores ~
+    nprobe/k of its rows — the scale path when brute force is too wide."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int = 4):
+        self.qids, self.qmat = ray.get(queries_ref)
+        self.centroids = ray.get(centroids_ref)
+        self.k = k
+        qsims = self.qmat @ self.centroids.T
+        order = np.argsort(-qsims, axis=1)
+        self.probes = order[:, :nprobe]  # (n_queries, nprobe)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        buckets = np.argmax(emb @ self.centroids.T, axis=1)
+        rows_q, rows_v, rows_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(buckets, self.probes[qi])
+            mask &= vec_ids != qid
+            if not mask.any():
+                continue
+            cand = np.flatnonzero(mask)
+            sims = emb[cand] @ self.qmat[qi]
+            kk = min(self.k, len(cand))
+            top = cand[np.argpartition(-sims, kk - 1)[:kk]]
+            sims_top = emb[top] @ self.qmat[qi]
+            rows_q.extend([qid] * len(top))
+            rows_v.extend(vec_ids[top].tolist())
+            rows_c.extend(sims_top.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": np.array(rows_q, dtype=np.int64),
+                "vec_id": np.array(rows_v, dtype=np.int64),
+                "cos": np.array(rows_c, dtype=np.float64),
+            }
+        )
+
+
 class CosinePairsStage:
     """All-pairs cosine ≥ threshold between a broadcast (normalized) corpus
     matrix and each batch — embedding near-duplicate detection. The corpus

@@ -207,3 +207,54 @@ def test_prop_string(data, codec):
     arr = pa.array(data, type=pa.string())
     row = encode_column(arr, codec)
     assert arr.equals(decode_column(row))
+
+
+# ---- delta codec -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        list(range(1000)),
+        list(range(1000, 0, -1)),
+        [np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1, 1],
+        [5, None, 7, None, 9] * 50,
+    ],
+)
+def test_delta_roundtrip(values):
+    roundtrip(pa.array(values, type=pa.int64()), "delta")
+
+
+def test_delta_wins_on_sequential():
+    arr = pa.array(np.arange(50000) + 10**12)
+    d = roundtrip(arr, "delta")
+    f = encode_column(arr, "forpack")
+    assert d["encoded_bytes"] < f["encoded_bytes"] / 5
+
+
+def test_delta_sorted_timestamps():
+    ts = pa.array(np.sort(RNG.integers(1_700_000_000_000_000, 1_700_100_000_000_000, 20000))).cast(
+        pa.timestamp("us")
+    )
+    roundtrip(ts, "delta")
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.lists(st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), max_size=200))
+def test_prop_delta(data):
+    arr = pa.array(data, type=pa.int64())
+    row = encode_column(arr, "delta")
+    assert arr.equals(decode_column(row))
+
+
+def test_decimal_roundtrip():
+    # reference round-trips DECIMAL(10,2) (realDB:98): zstd/plain are the
+    # lossless paths for decimal128
+    import decimal
+
+    arr = pa.array(
+        [decimal.Decimal("123.45"), None, decimal.Decimal("-0.01")] * 100,
+        type=pa.decimal128(10, 2),
+    )
+    for codec in ["zstd", "plain"]:
+        roundtrip(arr, codec)

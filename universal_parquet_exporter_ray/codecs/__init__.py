@@ -18,13 +18,14 @@ from .base import (  # noqa: F401
 )
 from .dictionary import ConstantCodec, DictCodec
 from .fsst import FsstCodec
-from .intcodec import BitPackCodec, ForPackCodec, RleCodec
+from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
 from .plain import PlainCodec, ZstdCodec
 
 register_codec(PlainCodec())
 register_codec(ZstdCodec())
 register_codec(BitPackCodec())
 register_codec(ForPackCodec())
+register_codec(DeltaCodec())
 register_codec(RleCodec())
 register_codec(DictCodec())
 register_codec(ConstantCodec())

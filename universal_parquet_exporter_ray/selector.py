@@ -53,6 +53,7 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
         cands.append("zstd")
     elif is_int_like(t):
         cands.append("forpack")
+        cands.append("delta")
         if stats.avg_run_len >= 1.5:
             cands.append("rle")
         if stats.distinct_ratio < 0.1:

@@ -258,3 +258,25 @@ def test_decimal_roundtrip():
     )
     for codec in ["zstd", "plain"]:
         roundtrip(arr, codec)
+
+
+# ---- byte-shuffle zstd -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        pa.array(RNG.normal(1000, 50, 5000)),
+        pa.array(RNG.integers(0, 10**6, 5000)),
+        pa.array(RNG.integers(1_500_000_000_000_000, 1_600_000_000_000_000, 2000)).cast(
+            pa.timestamp("us")
+        ),
+        pa.array([1.5, None, 3.25] * 100),
+    ],
+)
+def test_bshuf_zstd_roundtrip(arr):
+    roundtrip(arr, "bshuf_zstd")
+
+
+def test_bshuf_zstd_empty():
+    roundtrip(pa.array([], type=pa.float64()), "bshuf_zstd")

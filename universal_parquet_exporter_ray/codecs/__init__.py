@@ -19,10 +19,11 @@ from .base import (  # noqa: F401
 from .dictionary import ConstantCodec, DictCodec
 from .fsst import FsstCodec
 from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
-from .plain import PlainCodec, ZstdCodec
+from .plain import ByteShuffleZstdCodec, PlainCodec, ZstdCodec
 
 register_codec(PlainCodec())
 register_codec(ZstdCodec())
+register_codec(ByteShuffleZstdCodec())
 register_codec(BitPackCodec())
 register_codec(ForPackCodec())
 register_codec(DeltaCodec())

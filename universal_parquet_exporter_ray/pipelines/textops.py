@@ -347,6 +347,32 @@ def q_encode_roundtrip(sf_dir: str):
     return decoded_dataset(out).map_batches(sha_rows, batch_format="pandas")
 
 
+@q(
+    "encode_lineitem_roundtrip",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate "
+    "FROM lineitem",
+)
+def q_encode_lineitem_roundtrip(sf_dir: str):
+    """Encode the numeric-heavy lineitem table (exercises forpack / delta /
+    bshuf_zstd / rle on ints, doubles and timestamps), decode it, and return
+    the DECODED values — the oracle selects the same columns from the
+    source, so the value-hash match is a direct bit-identical proof for the
+    numeric codec family."""
+    from .encode import encode_dataset
+    from .verify import decoded_dataset
+
+    out = tempfile.mkdtemp(prefix="upxr_li_")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"]
+    encode_dataset(
+        load_table(sf_dir, "lineitem", cols),
+        out,
+        partition_by=None,
+        hash_cols=["l_orderkey", "l_linenumber"],
+        target_rows_per_partition=20000,
+    )
+    return decoded_dataset(out).drop_columns(["_part"])
+
+
 @q("encode_manifest")
 def q_encode_manifest(sf_dir: str):
     """Manifest dataset of an encode run over documents: per-partition codec

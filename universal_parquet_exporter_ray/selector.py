@@ -54,6 +54,7 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
     elif is_int_like(t):
         cands.append("forpack")
         cands.append("delta")
+        cands.append("bshuf_zstd")
         if stats.avg_run_len >= 1.5:
             cands.append("rle")
         if stats.distinct_ratio < 0.1:
@@ -62,6 +63,7 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
     elif pa.types.is_floating(t):
         if stats.avg_run_len >= 1.5:
             cands.append("rle")
+        cands.append("bshuf_zstd")
         cands.append("zstd")
     else:
         cands.append("zstd")

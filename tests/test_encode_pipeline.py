@@ -130,3 +130,46 @@ def test_unpartitioned_hash_mode(ray_session, source_files_path, tmp_path):
     ).to_pandas()
     assert len(mdf) == 3  # ceil(2000/700)
     assert verify_roundtrip(source_files_path, out).ok.all()
+
+
+def test_groupby_shuffle_mode(ray_session, source_files_path, tmp_path):
+    out = str(tmp_path / "gb")
+    mdf = encode_dataset(
+        source_files_path,
+        out,
+        partition_by="repo",
+        hash_cols=["path"],
+        target_rows_per_partition=500,
+        shuffle="groupby",
+    ).to_pandas()
+    assert len(mdf) >= 4
+    assert verify_roundtrip(source_files_path, out).ok.all()
+
+
+def test_encode_job_cli(ray_session, source_files_path, tmp_path):
+    # the ray-job-submit entrypoint, run in-process (session already owned
+    # by the fixture; the script's init guard must respect it)
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "jobs/encode_job.py",
+            "--source", source_files_path,
+            "--out-dir", out,
+            "--target-rows", "500",
+            "--verify",
+            "--num-cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["verified"] is True
+    assert report["rows"] == 2000

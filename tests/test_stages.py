@@ -202,3 +202,43 @@ def test_spill_partitions_idempotent(tmp_path):
     chunk = [f for f in os.listdir(os.path.join(exdir, a_dir)) if f.endswith(".arrow")][0]
     t = read_ipc_table(os.path.join(exdir, a_dir, chunk))
     assert t["v"].to_pylist() == [1, 3, 5]
+
+
+# ---- ANN / IVF ---------------------------------------------------------
+
+
+def test_kmeans_and_ivf_recall_on_clustered_data(ray_session):
+    import ray as _ray
+
+    from universal_parquet_exporter_ray.stages.ann import (
+        BatchTopKCosine,
+        IvfTopKCosine,
+        _normalize,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = _normalize(rng.normal(0, 1, (4, 16)))
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.08, (100, 16)) for c in centers]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    cent = kmeans_fit(vecs, 4)
+    assert cent.shape == (4, 16)
+    # determinism
+    assert np.array_equal(cent, kmeans_fit(vecs, 4))
+    qids = ids[:8]
+    qmat = _normalize(vecs[:8].astype(np.float64))
+    # compare exact vs IVF top-1 neighbor (nprobe=2 of 4 clusters)
+    if not _ray.is_initialized():
+        pytest.skip("needs ray for object store refs")
+    qref = _ray.put((qids, qmat))
+    cref = _ray.put(cent)
+    batch = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    exact = BatchTopKCosine(qref, k=3)(batch)
+    approx = IvfTopKCosine(qref, cref, k=3, nprobe=2)(batch)
+    top1_exact = exact.sort_values(["query_id", "cos"], ascending=[True, False]).groupby("query_id").head(1)
+    top1_ivf = approx.sort_values(["query_id", "cos"], ascending=[True, False]).groupby("query_id").head(1)
+    merged = top1_exact.merge(top1_ivf, on="query_id", suffixes=("_e", "_i"))
+    recall = (merged.vec_id_e == merged.vec_id_i).mean()
+    assert recall >= 0.75  # clustered data: coarse quantizer finds the right cell

@@ -316,6 +316,23 @@ def q_semi_distinct(sf_dir: str):
 
 
 @q(
+    "anti_join",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)",
+)
+def q_anti_join(sf_dir: str):
+    # anti join: broadcast the key set, negative filter per batch
+    # (ray_guide: semi/anti joins broadcast the key set)
+    orders = load_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)),
+        batch_format="pyarrow",
+    ).unique("o_custkey")
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi(cust, set(keys), "c_custkey", anti=True)
+
+
+@q(
     "global_agg",
     "SELECT count(*) AS n, CAST(round(avg(l_quantity) * 1000000) AS BIGINT) AS avg_qty_micro, "
     "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "

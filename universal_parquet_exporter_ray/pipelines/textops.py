@@ -179,6 +179,44 @@ def q_text_quality(sf_dir: str):
     return out
 
 
+@q(
+    "quality_by_lang",
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(round(avg(n_chars) * 100) AS BIGINT) AS avg_chars_c, "
+    "CAST(round(avg(len(regexp_extract_all(text, '\\S+'))) * 100) AS BIGINT) AS avg_tokens_c "
+    "FROM documents GROUP BY lang",
+)
+def q_quality_by_lang(sf_dir: str):
+    """Composition: per-batch token counting feeding a grouped aggregate —
+    the text-analysis → corpus-statistics pipeline shape."""
+    from ray.data.aggregate import Mean
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def add_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_tok"] = df["text"].str.findall(r"\S+").str.len().astype("int64")
+        return df[["lang", "n_chars", "n_tok"]]
+
+    out = (
+        ds.map_batches(add_tokens, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Mean("n_tok", alias_name="avg_tokens"),
+        )
+    )
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import scaled_int
+
+        df["avg_chars_c"] = scaled_int(df["avg_chars"], 100.0)
+        df["avg_tokens_c"] = scaled_int(df["avg_tokens"], 100.0)
+        return df[["lang", "n_docs", "avg_chars_c", "avg_tokens_c"]]
+
+    return out.map_batches(scale, batch_format="pandas")
+
+
 @q("lang_id")
 def q_lang_id(sf_dir: str):
     """Stopword-table language-ID heuristic (actor pool). Rows-only."""

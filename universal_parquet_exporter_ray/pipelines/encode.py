@@ -2,24 +2,33 @@
 columnar encode (codec auto-selection) → manifest dataset, with
 checkpoint/resume.
 
-Ray-Data shape (idiomatic, streaming, no full materialization):
+Default shape (``shuffle="exchange"``, streaming, no full materialization):
 
-    read_parquet(...)                        # column-pruned scan
-      .map_batches(AssignPartitions, pandas) # deterministic salted key
-      .map_batches(filter completed)         # resume: drop finished partitions
-      .groupby(_part)                        # the ONE all-to-all shuffle
-      .map_groups(PartitionEncoder, pyarrow) # stateful encode + atomic write
-    → manifest Dataset (one tiny row per partition)
+    read_parquet(...)                          # column-pruned scan
+      .map_batches(assign→filter→split→spill)  # ONE fused map stage: salted
+                                               # key, resume filter, hash
+                                               # split to per-partition IPC
+                                               # chunks on the exchange tier
+    [barrier: tiny ack rows]
+    from_items(LPT-balanced pid groups)
+      .map_batches(ExchangeEncoder actor pool) # stateful encode + atomic
+                                               # write + manifest row
+
+``shuffle="groupby"`` keeps the pure-Dataset-API salted
+``groupby(_part).map_groups(PartitionEncoder)`` sort shuffle.
 
 Scale notes (designed for a 256-node / 100 TB run, tested single-node):
-- the only shuffle is the salted groupby; salting bounds any single
-  partition to ~target_rows even for monorepo hot keys;
-- the small key-count table for the salt map comes from a groupby-count over
-  ONLY the partition column (column-pruned), then is broadcast inside the
-  AssignPartitions stage (closure → ray.put'd once), never per batch;
+- the salted key bounds any single partition to ~target_rows even for
+  monorepo hot keys, and bin-packs tiny repos into shared buckets;
+- the salt plan comes from per-batch partial value_counts over ONLY the
+  key column (combiner-first), broadcast once with the stage closure;
+- the exchange tier is node-local /dev/shm in this sandbox (stand-in for a
+  cluster's object store); on a real multi-node cluster pass
+  ``exchange_root`` pointing at shared storage (NFS/S3-style) — the chunk
+  files are content-addressed and atomically renamed, so task retries are
+  idempotent there too;
 - outputs are one directory per partition + a one-row manifest file, so a
-  killed run resumes by skipping manifested partitions (anti-join in
-  ``map_batches`` against the broadcast completed-set).
+  killed run resumes by skipping manifested partitions.
 
 Reference semantics kept: empty input raises ``ValueError`` exactly like the
 reference writer (``/root/reference/src/export/parquet_writer.py:10-11``).
@@ -86,7 +95,12 @@ def make_assigner(
             )
             .to_pandas()
         )
-        key_counts = partials.groupby("k", sort=False)["n"].sum().astype(int).to_dict()
+        if len(partials) == 0 or "k" not in partials.columns:
+            key_counts = {}
+        else:
+            key_counts = (
+                partials.groupby("k", sort=False)["n"].sum().astype(int).to_dict()
+            )
         salt_map, merge_map = build_partition_plan(key_counts, target_rows)
         assign = AssignPartitions(partition_by, hash_cols, salt_map, 16, merge_map)
         assign.total_rows = int(sum(key_counts.values()))
@@ -111,6 +125,7 @@ def encode_dataset(
     concurrency: Optional[int] = None,
     lineage: Optional[dict] = None,
     shuffle: str = "exchange",
+    exchange_root: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Encode ``source`` into ``out_dir``; returns the manifest Dataset.
 
@@ -189,17 +204,16 @@ def encode_dataset(
 
         from ..stages.exchange import ExchangeEncoder, SpillPartitions
 
-        # exchange chunks are transient shuffle traffic: prefer memory-backed
-        # storage (the single-node stand-in for a cluster's object store /
-        # fast shuffle tier); fall back to the output directory's filesystem
-        if os.path.isdir("/dev/shm"):
-            exchange_dir = os.path.join(
-                "/dev/shm",
-                "upxr_exchange",
-                sanitize_partition_id(os.path.abspath(out_dir)),
-            )
+        # exchange chunks are transient shuffle traffic. Single node: prefer
+        # memory-backed /dev/shm (stand-in for the object store). Multi-node:
+        # pass exchange_root on storage reachable by ALL nodes.
+        if exchange_root is not None:
+            root = exchange_root
+        elif os.path.isdir("/dev/shm"):
+            root = os.path.join("/dev/shm", "upxr_exchange")
         else:
-            exchange_dir = os.path.join(out_dir, "_exchange")
+            root = os.path.join(out_dir, "_exchange_root")
+        exchange_dir = os.path.join(root, sanitize_partition_id(os.path.abspath(out_dir)))
         shutil.rmtree(exchange_dir, ignore_errors=True)
         os.makedirs(exchange_dir, exist_ok=True)
         spiller = SpillPartitions(exchange_dir)

@@ -280,3 +280,47 @@ def test_bshuf_zstd_roundtrip(arr):
 
 def test_bshuf_zstd_empty():
     roundtrip(pa.array([], type=pa.float64()), "bshuf_zstd")
+
+
+# ---- fsst2 (vectorized pairs-only) -------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        None,  # filled in test: hex strings
+    ],
+)
+def test_fsst2_hex(arr):
+    hexes = pa.array([bytes(RNG.bytes(20)).hex() for _ in range(2000)])
+    row = roundtrip(hexes, "fsst2")
+    # pairs table covers hex-pair space: ~2x compression
+    assert row["encoded_bytes"] < row["input_bytes"] * 0.55
+
+
+def test_fsst2_matches_general_decode():
+    # fsst2 payloads decode via the generic FSST decoder path
+    arr = pa.array(["abcabcabc", "", "a", "\xff\xff escape-ish", "你好"] * 100)
+    roundtrip(arr, "fsst2")
+
+
+def test_fsst2_nulls_and_empty():
+    roundtrip(pa.array(["x", None, ""] * 50), "fsst2")
+    roundtrip(pa.array([], type=pa.string()), "fsst2")
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=150))
+def test_prop_fsst2(data):
+    arr = pa.array(data, type=pa.string())
+    row = encode_column(arr, "fsst2")
+    assert arr.equals(decode_column(row))
+
+
+@settings(max_examples=20, deadline=None)
+@given(raw=st.binary(max_size=400))
+def test_prop_fsst2_binary(raw):
+    # raw bytes incl. 0xFF runs exercise the escape-run decoder logic
+    arr = pa.array([raw, b"", raw[::-1]], type=pa.binary())
+    row = encode_column(arr, "fsst2")
+    assert arr.equals(decode_column(row))

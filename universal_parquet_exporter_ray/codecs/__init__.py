@@ -17,7 +17,7 @@ from .base import (  # noqa: F401
     type_to_bytes,
 )
 from .dictionary import ConstantCodec, DictCodec
-from .fsst import FsstCodec
+from .fsst import Fsst2Codec, FsstCodec
 from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
 from .plain import ByteShuffleZstdCodec, PlainCodec, ZstdCodec
 
@@ -32,3 +32,4 @@ register_codec(DictCodec())
 register_codec(ConstantCodec())
 register_codec(FsstCodec())
 register_codec(FsstCodec(compress=True, name="fsst_zstd"))
+register_codec(Fsst2Codec())

@@ -140,6 +140,80 @@ def train_table(sample: bytes) -> list[bytes]:
     return symbols
 
 
+def train_pair_table(sample: bytes) -> list[bytes]:
+    """Train a pairs-only symbol table (max symbol length 2): one counting
+    pass over byte pairs + frequent single bytes, ranked by gain. The
+    restricted table enables the exact-greedy vectorized encoder below."""
+    sample = sample[:TRAIN_SAMPLE_BYTES]
+    if not sample:
+        return []
+    d = np.frombuffer(sample, dtype=np.uint8)
+    gains: Counter = Counter()
+    if len(d) >= 2:
+        pair_ids = d[:-1].astype(np.int32) * 256 + d[1:]
+        ids, counts = np.unique(pair_ids, return_counts=True)
+        for pid, c in zip(ids.tolist(), counts.tolist()):
+            gains[bytes([pid >> 8, pid & 255])] = c * 2
+    ids, counts = np.unique(d, return_counts=True)
+    for b, c in zip(ids.tolist(), counts.tolist()):
+        gains[bytes([b])] = c  # saves the escape byte
+    import heapq
+
+    ranked = heapq.nsmallest(MAX_SYMBOLS, gains.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [s for s, g in ranked if g > len(s)]
+
+
+def _encode_pairs(data: bytes, symbols: list[bytes]) -> bytes:
+    """Exact-greedy vectorized encoder for a pairs-only table: identical
+    semantics to the leftmost-longest regex tokenizer when every symbol has
+    length ≤ 2, but pure numpy. Decoding uses the generic FSST decoder."""
+    d = np.frombuffer(data, dtype=np.uint8)
+    n = len(d)
+    if n == 0:
+        return b""
+    P = np.full(65536, -1, dtype=np.int16)
+    S = np.full(256, -1, dtype=np.int16)
+    for code, s in enumerate(symbols):
+        if len(s) == 2:
+            P[s[0] * 256 + s[1]] = code
+        elif len(s) == 1:
+            S[s[0]] = code
+    if n >= 2:
+        pair_code = P[d[:-1].astype(np.int32) * 256 + d[1:]]
+        can = pair_code >= 0
+        # greedy scan = even offsets within each maximal run of pairable
+        # positions (arrival at a run start is always exact: the position
+        # before it cannot start a pair)
+        idx = np.arange(n - 1, dtype=np.int64)
+        run_start = can & np.concatenate([[True], ~can[:-1]])
+        last = np.maximum.accumulate(np.where(run_start, idx, -1))
+        take = can & ((idx - last) % 2 == 0)
+        take_pos = np.flatnonzero(take)
+    else:
+        pair_code = np.zeros(0, dtype=np.int16)
+        take_pos = np.zeros(0, dtype=np.int64)
+    covered = np.zeros(n, dtype=bool)
+    covered[take_pos] = True
+    covered[take_pos + 1] = True
+    single_mask = ~covered
+    scode = S[d]
+    esc_mask = single_mask & (scode < 0)
+    sing_mask = single_mask & (scode >= 0)
+    lens = np.zeros(n, dtype=np.int64)
+    lens[take_pos] = 1
+    lens[sing_mask] = 1
+    lens[esc_mask] = 2
+    out_off = np.cumsum(lens) - lens
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    out[out_off[take_pos]] = pair_code[take_pos].astype(np.uint8)
+    sp = np.flatnonzero(sing_mask)
+    out[out_off[sp]] = scode[sp].astype(np.uint8)
+    ep = np.flatnonzero(esc_mask)
+    out[out_off[ep]] = ESCAPE
+    out[out_off[ep] + 1] = d[ep]
+    return out.tobytes()
+
+
 class FsstCodec(Codec):
     """FSST over the column's concatenated data buffer; lengths forpacked."""
 
@@ -236,3 +310,32 @@ def _fsst_decode(encoded: bytes, symbols: list[bytes]) -> bytes:
         sarr = np.frombuffer(s, dtype=np.uint8)
         out[out_off[pos][:, None] + np.arange(len(s))] = sarr
     return out.tobytes()
+
+
+class Fsst2Codec(FsstCodec):
+    """Pairs-only FSST: slightly weaker ratio than the full 8-byte-symbol
+    table, but the encoder is fully vectorized (numpy ``_encode_pairs``) —
+    a throughput choice the selector can pick with no cost penalty.
+    Decoding reuses the generic FSST decoder (the table is just shorter)."""
+
+    name = "fsst2"
+    cost_factor = 1.0
+
+    def __init__(self):
+        super().__init__(compress=False, name="fsst2")
+
+    def train(self, sample: pa.Array) -> list[bytes]:
+        data, _ = _string_buffer(sample)
+        return train_pair_table(data)
+
+    def encode(self, arr: pa.Array, state: Any = None) -> Encoded:
+        data, offsets = _string_buffer(arr)
+        symbols = state if state is not None else train_pair_table(data)
+        encoded = _encode_pairs(data, symbols)
+        lengths = np.diff(offsets)
+        len_enc = get_codec("forpack").encode(pa.array(lengths))
+        payload = pack_blobs(
+            {"table": _pack_table(symbols), "data": encoded, "lens": len_enc.payload}
+        )
+        meta = {"len_meta": len_enc.meta, "enc_size": len(encoded), "z": False}
+        return Encoded(self.name, payload, meta, len(arr))

@@ -48,6 +48,7 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
             and stats.avg_len <= 4096
             and stats.n_distinct > 64
         ):
+            cands.append("fsst2")  # vectorized pairs-only variant, no penalty
             cands.append("fsst")
             cands.append("fsst_zstd")
         cands.append("zstd")

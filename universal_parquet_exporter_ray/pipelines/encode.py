@@ -209,7 +209,7 @@ def encode_dataset(
         # pass exchange_root on storage reachable by ALL nodes.
         if exchange_root is not None:
             root = exchange_root
-        elif os.path.isdir("/dev/shm"):
+        elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             root = os.path.join("/dev/shm", "upxr_exchange")
         else:
             root = os.path.join(out_dir, "_exchange_root")

@@ -329,7 +329,16 @@ def q_anti_join(sf_dir: str):
         batch_format="pyarrow",
     ).unique("o_custkey")
     cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    return broadcast_semi(cust, set(keys), "c_custkey", anti=True)
+    out = broadcast_semi(cust, set(keys), "c_custkey", anti=True).to_pandas()
+    if out.empty and list(out.columns) != ["c_custkey", "c_name"]:
+        # an empty Dataset loses its schema through to_pandas; rebuild it
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+            }
+        )
+    return out
 
 
 @q(

@@ -173,3 +173,19 @@ def test_encode_job_cli(ray_session, source_files_path, tmp_path):
     report = json.loads(res.stdout.strip().splitlines()[-1])
     assert report["verified"] is True
     assert report["rows"] == 2000
+
+
+def test_column_pruned_decode(encoded):
+    src, out, _ = encoded
+    from universal_parquet_exporter_ray.pipelines.verify import (
+        compression_report,
+        decoded_dataset,
+    )
+
+    two = decoded_dataset(out, columns=["repo", "lang"]).to_pandas()
+    assert sorted(c for c in two.columns if c != "_part") == ["lang", "repo"]
+    assert len(two) == pq.read_metadata(src).num_rows
+    rep = compression_report(out)
+    assert set(rep.column) == {"repo", "path", "commit", "lang", "content"}
+    assert (rep.ratio <= 1.0).all()
+    assert rep.set_index("column").loc["content", "input_bytes"] > 0

@@ -101,15 +101,61 @@ def dataset_fingerprints(
     return _reduce_fingerprints(partials)
 
 
-def decoded_dataset(out_dir: str) -> "ray.data.Dataset":
-    """Stream-decode the encoded output back into row form."""
-    return (
-        read_encoded(out_dir)
-        .groupby("partition_id")
-        .map_groups(
-            PartitionDecoder, batch_format="pyarrow", concurrency=default_pool_size()
-        )
+def decoded_dataset(
+    out_dir: str, columns: Optional[list[str]] = None
+) -> "ray.data.Dataset":
+    """Stream-decode the encoded output back into row form.
+
+    ``columns``: decode only these columns — the encoded layout stores one
+    blob row per column, so projection pushdown skips the other columns'
+    payload bytes entirely (the columnar-format payoff)."""
+    ds = read_encoded(out_dir)
+    if columns is not None:
+        wanted = set(columns)
+
+        def prune(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            mask = pa.array([c in wanted for c in t["column"].to_pylist()])
+            return t.filter(mask)
+
+        ds = ds.map_batches(prune, batch_format="pyarrow")
+    return ds.groupby("partition_id").map_groups(
+        PartitionDecoder, batch_format="pyarrow", concurrency=default_pool_size()
     )
+
+
+def compression_report(out_dir: str) -> pd.DataFrame:
+    """Per-column compression summary over all partitions: codec win counts,
+    input/encoded bytes, ratio — the manifest metrics rolled up by column."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import parts_path
+
+    import glob as _glob
+    import os as _os
+
+    frames = []
+    for f in _glob.glob(_os.path.join(parts_path(out_dir), "*", "data.parquet")):
+        frames.append(
+            pq.read_table(
+                f, columns=["column", "codec", "n_rows", "input_bytes", "encoded_bytes"]
+            ).to_pandas()
+        )
+    df = pd.concat(frames, ignore_index=True)
+    by_col = (
+        df.groupby("column")
+        .agg(
+            partitions=("codec", "size"),
+            codecs=("codec", lambda s: dict(s.value_counts())),
+            input_bytes=("input_bytes", "sum"),
+            encoded_bytes=("encoded_bytes", "sum"),
+        )
+        .reset_index()
+    )
+    by_col["ratio"] = (by_col.encoded_bytes / by_col.input_bytes.clip(lower=1)).round(4)
+    return by_col.sort_values("column").reset_index(drop=True)
 
 
 def verify_roundtrip(

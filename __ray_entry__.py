@@ -10,10 +10,17 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 
 from __future__ import annotations
 
+import os
 import shutil
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
+
+# make the package importable regardless of the caller's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 
 def entry() -> Any:

@@ -189,3 +189,24 @@ def test_column_pruned_decode(encoded):
     assert set(rep.column) == {"repo", "path", "commit", "lang", "content"}
     assert (rep.ratio <= 1.0).all()
     assert rep.set_index("column").loc["content", "input_bytes"] > 0
+
+
+def test_partition_assignment_stable_across_parallelism(
+    ray_session, source_files_path, tmp_path
+):
+    # cluster-size independence: the same input must map to the same
+    # partition ids and row counts no matter the worker count (retries and
+    # resume depend on it)
+    outs = []
+    for conc in (1, 3):
+        out = str(tmp_path / f"c{conc}")
+        mdf = encode_dataset(
+            source_files_path,
+            out,
+            partition_by="repo",
+            hash_cols=["path"],
+            target_rows_per_partition=500,
+            concurrency=conc,
+        ).to_pandas()
+        outs.append(mdf.set_index("partition_id").n_rows.sort_index())
+    pd.testing.assert_series_equal(outs[0], outs[1])

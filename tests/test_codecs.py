@@ -324,3 +324,51 @@ def test_prop_fsst2_binary(raw):
     arr = pa.array([raw, b"", raw[::-1]], type=pa.binary())
     row = encode_column(arr, "fsst2")
     assert arr.equals(decode_column(row))
+
+
+# ---- round-2 regression fixes ------------------------------------------
+
+
+def test_nested_list_with_null_roundtrip():
+    """list<float64> with nulls: no scalar fill exists — the envelope keeps
+    nulls inline and zstd/plain serialize the validity bitmap losslessly."""
+    arr = pa.array([[1.0, 2.0], None, [3.5], [], None], type=pa.list_(pa.float64()))
+    for codec in ("zstd", "plain"):
+        roundtrip(arr, codec)
+
+
+def test_nested_null_rerouted_from_non_ipc_codec():
+    # a non-IPC codec name on a nested nullable column reroutes to zstd
+    arr = pa.array([[1, 2], None, [3]], type=pa.list_(pa.int64()))
+    row = encode_column(arr, "rle")
+    assert row["codec"] == "zstd"
+    assert decode_column(row).equals(arr)
+
+
+def test_struct_with_null_roundtrip():
+    arr = pa.array(
+        [{"a": 1, "b": "x"}, None, {"a": 2, "b": None}],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    roundtrip(arr, "zstd")
+
+
+def test_rle_negative_zero_bit_identity():
+    """-0.0 and 0.0 are equal by value but distinct bit patterns; RLE must
+    not merge them into one run (bit-identical round-trip invariant)."""
+    arr = pa.array([0.0, -0.0, -0.0, 0.0, 1.5, 1.5])
+    row = encode_column(arr, "rle")
+    dec = decode_column(row)
+    src_bits = arr.to_numpy(zero_copy_only=False).view(np.int64)
+    dec_bits = dec.to_numpy(zero_copy_only=False).view(np.int64)
+    assert np.array_equal(src_bits, dec_bits)
+
+
+def test_rle_nan_runs_bit_identical():
+    nan = float("nan")
+    arr = pa.array([nan, nan, nan, 1.0, 1.0, nan])
+    row = encode_column(arr, "rle")
+    dec = decode_column(row)
+    src_bits = arr.to_numpy(zero_copy_only=False).view(np.int64)
+    dec_bits = dec.to_numpy(zero_copy_only=False).view(np.int64)
+    assert np.array_equal(src_bits, dec_bits)

@@ -172,7 +172,10 @@ def test_media_decode_real_path_not_implemented():
 # ---- exchange spill ----------------------------------------------------
 
 
-def test_spill_partitions_idempotent(tmp_path):
+def test_spill_partitions_commit_by_ack(tmp_path):
+    """Identical batches (duplicate-heavy corpora) must NOT collapse into one
+    chunk: every spilled slice gets a unique file and its own ack row, and
+    downstream reads exactly the acked files."""
     from universal_parquet_exporter_ray.stages.exchange import (
         SpillPartitions,
         read_ipc_table,
@@ -189,19 +192,52 @@ def test_spill_partitions_idempotent(tmp_path):
     )
     sp = SpillPartitions(exdir)
     ack1 = sp(batch)
-    files_before = {
-        p: sorted(os.listdir(os.path.join(exdir, p))) for p in os.listdir(exdir)
-    }
-    sp(batch)  # retry → identical content-addressed files, no duplicates
-    files_after = {
-        p: sorted(os.listdir(os.path.join(exdir, p))) for p in os.listdir(exdir)
-    }
-    assert files_before == files_after
-    assert sorted(ack1["pid"].to_pylist())[0].startswith("a-")
-    a_dir = [p for p in os.listdir(exdir) if p.startswith("a-")][0]
-    chunk = [f for f in os.listdir(os.path.join(exdir, a_dir)) if f.endswith(".arrow")][0]
-    t = read_ipc_table(os.path.join(exdir, a_dir, chunk))
-    assert t["v"].to_pylist() == [1, 3, 5]
+    ack2 = sp(batch)  # a byte-identical second batch — distinct chunks
+    assert ack1["rows"].to_pylist() == ack2["rows"].to_pylist() == [3, 2]
+    assert set(ack1["file"].to_pylist()).isdisjoint(ack2["file"].to_pylist())
+    # all 6 'a'-rows recoverable from the acked files (no silent loss)
+    total = 0
+    for ack in (ack1, ack2):
+        for pid, fname in zip(ack["pid"].to_pylist(), ack["file"].to_pylist()):
+            if pid.startswith("a-") or pid == "a":
+                t = read_ipc_table(os.path.join(exdir, pid, fname))
+                assert t["v"].to_pylist() == [1, 3, 5]
+                total += t.num_rows
+    assert total == 6
+    # commit-by-ack: an orphan file (failed attempt) is simply never read
+    a_pid = ack1["pid"].to_pylist()[0]
+    orphan = os.path.join(exdir, a_pid, "deadbeef-3.arrow")
+    with open(orphan, "wb") as f:
+        f.write(b"garbage")
+    acked = set(ack1["file"].to_pylist()) | set(ack2["file"].to_pylist())
+    assert "deadbeef-3.arrow" not in acked
+
+
+def test_encode_pipeline_duplicate_identical_batches(tmp_path, ray_session):
+    """End-to-end: rows whose per-batch slices serialize byte-identically all
+    survive the exchange (regression for crc-content-addressed chunk loss)."""
+    import ray.data
+
+    from universal_parquet_exporter_ray.pipelines.encode import encode_dataset
+    from universal_parquet_exporter_ray.pipelines.verify import decoded_dataset
+
+    # many identical rows of one hot key → identical slices across batches
+    t = pa.table(
+        {
+            "repo": ["r"] * 4000,
+            "path": ["same/path.py"] * 4000,
+            "content": ["dup " * 8] * 4000,
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = str(tmp_path / "out")
+    manifest = encode_dataset(
+        ds, out, partition_by="repo", hash_cols=["path"],
+        target_rows_per_partition=100000, concurrency=2,
+    ).to_pandas()
+    assert int(manifest.n_rows.sum()) == 4000
+    dec = decoded_dataset(out)
+    assert dec.count() == 4000
 
 
 # ---- ANN / IVF ---------------------------------------------------------

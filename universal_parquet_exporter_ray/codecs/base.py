@@ -107,13 +107,21 @@ def type_from_bytes(b: bytes) -> pa.DataType:
 
 
 def zero_scalar(t: pa.DataType):
-    """A fill value for nulls of type ``t`` (masked out again on decode)."""
+    """A fill value for nulls of type ``t`` (masked out again on decode).
+    Returns ``None`` when the type has no scalar fill (nested types) — the
+    envelope then keeps nulls inline instead of stripping them."""
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return ""
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return b""
     if pa.types.is_boolean(t):
         return False
+    if (
+        pa.types.is_nested(t)
+        or pa.types.is_dictionary(t)
+        or pa.types.is_null(t)
+    ):
+        return None
     # ints, floats, decimals, timestamps, dates: 0 casts fine
     return 0
 
@@ -264,11 +272,20 @@ def encode_column(
     blobs: dict[str, bytes] = {}
     meta: dict[str, Any] = {}
     if arr.null_count > 0:
-        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-        blobs["valid"] = np.packbits(valid, bitorder="little").tobytes()
-        arr_nn = pc.fill_null(arr, pa.scalar(zero_scalar(dtype), type=dtype))
-        arr_nn = combine(arr_nn)
-        meta["has_nulls"] = True
+        fill = zero_scalar(dtype)
+        if fill is None:
+            # nested types (list/struct/map): no scalar fill exists — keep
+            # nulls inline and route to an IPC-lossless codec (plain/zstd
+            # serialize the validity bitmap as part of the array)
+            arr_nn = arr
+            if codec_name not in ("plain", "zstd"):
+                codec_name = "zstd"
+            meta["nulls_inline"] = True
+        else:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            blobs["valid"] = np.packbits(valid, bitorder="little").tobytes()
+            arr_nn = combine(pc.fill_null(arr, pa.scalar(fill, type=dtype)))
+            meta["has_nulls"] = True
     else:
         arr_nn = arr
     codec = get_codec(codec_name)

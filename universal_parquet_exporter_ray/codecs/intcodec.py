@@ -117,13 +117,23 @@ class DeltaCodec(Codec):
 
 
 def _run_boundaries(arr: pa.Array) -> np.ndarray:
-    """Start index of every run in ``arr`` (null-free)."""
+    """Start index of every run in ``arr`` (null-free).
+
+    Floats are compared on their integer BIT view, not by value: value
+    equality would merge adjacent ``-0.0``/``0.0`` into one run (decode then
+    rewrites ``-0.0`` as ``0.0``, breaking the bit-identical invariant) and
+    would split identical-bit NaNs into singleton runs."""
     n = len(arr)
     if n <= 1:
         return np.arange(n, dtype=np.int64)
-    neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
-    # not_equal on equal values is False; nulls impossible here (filled)
-    neq_np = neq.to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(arr.type):
+        f = arr.to_numpy(zero_copy_only=False)
+        bits = f.view(f"i{f.dtype.itemsize}")
+        neq_np = bits[1:] != bits[:-1]
+    else:
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        # not_equal on equal values is False; nulls impossible here (filled)
+        neq_np = neq.to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(neq_np) + 1
     return np.concatenate([[0], starts]).astype(np.int64)
 

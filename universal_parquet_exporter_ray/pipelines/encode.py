@@ -24,9 +24,10 @@ Scale notes (designed for a 256-node / 100 TB run, tested single-node):
   key column (combiner-first), broadcast once with the stage closure;
 - the exchange tier is node-local /dev/shm in this sandbox (stand-in for a
   cluster's object store); on a real multi-node cluster pass
-  ``exchange_root`` pointing at shared storage (NFS/S3-style) — the chunk
-  files are content-addressed and atomically renamed, so task retries are
-  idempotent there too;
+  ``exchange_root`` pointing at shared storage (NFS/S3-style) — enforced:
+  multi-node without ``exchange_root`` raises. Chunk files are uniquely
+  named and committed by ack rows, so retried tasks' orphans are ignored
+  and duplicate-content slices never collide;
 - outputs are one directory per partition + a one-row manifest file, so a
   killed run resumes by skipping manifested partitions.
 
@@ -206,9 +207,17 @@ def encode_dataset(
 
         # exchange chunks are transient shuffle traffic. Single node: prefer
         # memory-backed /dev/shm (stand-in for the object store). Multi-node:
-        # pass exchange_root on storage reachable by ALL nodes.
+        # node-local shm would silently lose every chunk written on a node the
+        # driver can't read — REQUIRE exchange_root on shared storage instead.
         if exchange_root is not None:
             root = exchange_root
+        elif len(ray.nodes()) > 1:
+            raise ValueError(
+                "encode_dataset(shuffle='exchange') on a multi-node cluster "
+                "requires exchange_root= on storage reachable by ALL nodes "
+                "(NFS/S3-style); the node-local /dev/shm default would drop "
+                "chunks written on remote nodes"
+            )
         elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             root = os.path.join("/dev/shm", "upxr_exchange")
         else:
@@ -226,27 +235,24 @@ def encode_dataset(
         acks = ds.map_batches(
             spill, batch_format="pyarrow", zero_copy_batch=True, batch_size=100_000
         )
-        acks.to_pandas()  # barrier: all chunk files on disk (acks are tiny)
-        pids = sorted(
-            p
-            for p in os.listdir(exchange_dir)
-            if os.path.isdir(os.path.join(exchange_dir, p)) and p not in done_set
-        )
+        # barrier: one tiny ack row per chunk file. Stage 2 reads ONLY the
+        # files named here (commit-by-ack): orphan chunks from failed task
+        # attempts are never read, so retries can't duplicate or drop rows.
+        ack_df = acks.to_pandas()
+        if len(ack_df):
+            grouped = ack_df.groupby("pid", sort=True)
+            pid_files = grouped["file"].apply(sorted).to_dict()
+            pid_raw = grouped["raw"].first().to_dict()
+            pid_bytes = grouped["bytes"].sum().to_dict()
+            pids = sorted(pid_files)
+        else:
+            pids = []
         if pids:
-            # LPT bin-packing: partitions are grouped into exactly `pool`
-            # byte-balanced tasks (largest-first onto the least-loaded bin)
-            # so one wave of workers finishes together — per-pid tasks pay
-            # dispatch overhead and ragged waves leave stragglers.
-            sizes = []
-            for p in pids:
-                d = os.path.join(exchange_dir, p)
-                sizes.append(
-                    sum(
-                        os.path.getsize(os.path.join(d, f))
-                        for f in os.listdir(d)
-                        if f.endswith(".arrow")
-                    )
-                )
+            # LPT bin-packing: partitions are grouped into byte-balanced
+            # tasks (largest-first onto the least-loaded bin) so one wave of
+            # workers finishes together — per-pid tasks pay dispatch
+            # overhead and ragged waves leave stragglers.
+            sizes = [int(pid_bytes[p]) for p in pids]
             # pool×3 bins: byte-balanced AND small enough that the pool can
             # work-steal around stragglers (a single wave has no slack)
             order = sorted(range(len(pids)), key=lambda i: -sizes[i])
@@ -257,7 +263,15 @@ def encode_dataset(
                 j = loads.index(min(loads))
                 bins[j].append(pids[i])
                 loads[j] += sizes[i]
-            items = [{"pids": b} for b in bins if b]
+            items = [
+                {
+                    "pids": b,
+                    "raws": [pid_raw[p] for p in b],
+                    "files": [list(pid_files[p]) for p in b],
+                }
+                for b in bins
+                if b
+            ]
             pid_ds = ray.data.from_items(items, override_num_blocks=len(items))
             manifest = pid_ds.map_batches(
                 ExchangeEncoder,

@@ -93,7 +93,9 @@ class PartitionEncoder:
         for name in data.column_names:
             arr = data[name].combine_chunks()
             choice = select_codec(arr, fsst_state=self._cached_fsst(name))
-            if choice.codec.startswith("fsst") and isinstance(choice.state, list):
+            # cache only full-FSST tables: fsst2's pairs-only table would
+            # degrade later fsst/fsst_zstd trials if fed back as their state
+            if choice.codec in ("fsst", "fsst_zstd") and isinstance(choice.state, list):
                 if name not in self._fsst_cache or self._fsst_cache[name][0] is not choice.state:
                     self._fsst_cache[name] = (choice.state, 0)
             try:

@@ -10,20 +10,29 @@ NFS/S3-style storage reachable by all nodes).
 
 Stage 1 (``SpillPartitions``): each input batch is vectorized-split by the
 ``_part`` column (one dictionary-encode + one take) and each partition slice
-is appended as a content-addressed Arrow IPC file
-``exchange/<pid>/<crc>-<rows>.arrow`` (atomic temp+rename; a retried task
-rewrites byte-identical files, so retries are idempotent and duplicates are
-impossible).
+is written as a uniquely-named Arrow IPC file
+``exchange/<pid>/<uuid>-<rows>.arrow`` (atomic temp+rename). The stage emits
+one **ack row per chunk file** carrying (pid, raw key, file name, rows,
+bytes).
 
-Stage 2 (``ExchangeEncoder``): one task per partition reads its chunk files
-(sorted name order → deterministic row order) and encodes via
-``PartitionEncoder.encode_partition``.
+Correctness under retries is COMMIT-BY-ACK, not content addressing: stage 2
+reads exactly the files named in the ack rows that flowed through the
+Dataset. Ray discards the output of a failed task attempt, so orphan chunks
+written by a failed-then-retried spill task are never read; and two distinct
+batches whose slices happen to be byte-identical (duplicate-heavy corpora)
+get distinct file names, so no rows are ever silently dropped. (An earlier
+design used crc32-content-addressed names; identical-content slices from
+different batches then collapsed into one file — a silent row loss.)
+
+Stage 2 (``ExchangeEncoder``): one task per partition-group reads exactly the
+acked chunk files (sorted name order within a run) and encodes each
+partition via ``PartitionEncoder.encode_partition``.
 """
 
 from __future__ import annotations
 
 import os
-import zlib
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -31,6 +40,16 @@ import pyarrow.compute as pc
 
 from .encoder import PART_COL, PartitionEncoder
 from ..state.manifest import sanitize_partition_id
+
+ACK_SCHEMA = pa.schema(
+    [
+        ("pid", pa.string()),
+        ("raw", pa.string()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
 
 
 def _ipc_table_bytes(table: pa.Table, compression: str | None = None) -> bytes:
@@ -50,16 +69,16 @@ def read_ipc_table(path: str) -> pa.Table:
 
 
 class SpillPartitions:
-    """map_batches stage: split a batch by ``_part`` and append each slice to
-    the partition's exchange directory. Emits tiny ack rows."""
+    """map_batches stage: split a batch by ``_part`` and write each slice as a
+    uniquely-named chunk in the partition's exchange directory. Emits one ack
+    row per chunk; downstream reads ONLY acked files (commit-by-ack)."""
 
     def __init__(self, exchange_dir: str):
         self.exchange_dir = exchange_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"pid": pa.array([], type=pa.string()),
-                             "rows": pa.array([], type=pa.int64())})
+            return ACK_SCHEMA.empty_table()
         # vectorized split: dictionary-encode the key, sort by code, slice runs
         codes_arr = pc.dictionary_encode(batch[PART_COL].combine_chunks())
         codes = codes_arr.indices.to_numpy(zero_copy_only=False)
@@ -70,53 +89,54 @@ class SpillPartitions:
         boundaries = np.flatnonzero(np.diff(sorted_codes)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(codes)]])
-        pids, rows = [], []
+        acks = {k: [] for k in ("pid", "raw", "file", "rows", "bytes")}
         data = sorted_batch.drop_columns([PART_COL])
         for s, e in zip(starts, ends):
-            raw_pid = labels[sorted_codes[s]]
-            pid = sanitize_partition_id(str(raw_pid))
+            raw_pid = str(labels[sorted_codes[s]])
+            pid = sanitize_partition_id(raw_pid)
             sl = data.slice(int(s), int(e - s))
             buf = _ipc_table_bytes(sl)
             d = os.path.join(self.exchange_dir, pid)
             os.makedirs(d, exist_ok=True)
-            # content-addressed name → retried tasks rewrite identical files
-            name = f"{zlib.crc32(buf):08x}-{sl.num_rows}.arrow"
-            final = os.path.join(d, name)
-            if not os.path.exists(final):
-                tmp = os.path.join(d, f".tmp-{os.getpid()}-{name}")
-                with open(tmp, "wb") as f:
-                    f.write(buf)
-                os.replace(tmp, final)
-            # raw label recorded once per partition for lineage
-            label_file = os.path.join(d, "_label")
-            if not os.path.exists(label_file):
-                tmp = os.path.join(d, f".tmplabel-{os.getpid()}")
-                with open(tmp, "w") as f:
-                    f.write(str(raw_pid))
-                os.replace(tmp, label_file)
-            pids.append(pid)
-            rows.append(sl.num_rows)
-        return pa.table({"pid": pa.array(pids), "rows": pa.array(rows, type=pa.int64())})
+            # unique name per written chunk: identical-content slices from
+            # different batches never collide; a retried task's orphans are
+            # excluded because only THIS attempt's ack rows are consumed
+            name = f"{uuid.uuid4().hex}-{sl.num_rows}.arrow"
+            tmp = os.path.join(d, f".tmp-{name}")
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, os.path.join(d, name))
+            acks["pid"].append(pid)
+            acks["raw"].append(raw_pid)
+            acks["file"].append(name)
+            acks["rows"].append(sl.num_rows)
+            acks["bytes"].append(len(buf))
+        return pa.table(
+            {
+                "pid": pa.array(acks["pid"], type=pa.string()),
+                "raw": pa.array(acks["raw"], type=pa.string()),
+                "file": pa.array(acks["file"], type=pa.string()),
+                "rows": pa.array(acks["rows"], type=pa.int64()),
+                "bytes": pa.array(acks["bytes"], type=pa.int64()),
+            }
+        )
 
 
 class ExchangeEncoder(PartitionEncoder):
-    """Stage-2 actor: one call per partition id; reads that partition's
-    exchange chunks and encodes them as one partition."""
+    """Stage-2 actor: each input row is one partition (pid, raw key, acked
+    chunk-file list); reads exactly those chunks and encodes them as one
+    partition."""
 
     def __init__(self, out_dir: str, exchange_dir: str, lineage: dict | None = None):
         super().__init__(out_dir, lineage)
         self.exchange_dir = exchange_dir
 
     def __call__(self, batch) -> pa.Table:
-        pid_lists = batch["pids"].to_pylist()
         outs = []
-        for pids in pid_lists:
-            for pid in pids:
+        for row in batch.to_pylist():
+            for pid, raw_pid, files in zip(row["pids"], row["raws"], row["files"]):
                 d = os.path.join(self.exchange_dir, pid)
-                files = sorted(f for f in os.listdir(d) if f.endswith(".arrow"))
-                tables = [read_ipc_table(os.path.join(d, f)) for f in files]
+                tables = [read_ipc_table(os.path.join(d, f)) for f in sorted(files)]
                 data = pa.concat_tables(tables).combine_chunks()
-                with open(os.path.join(d, "_label")) as f:
-                    raw_pid = f.read()
                 outs.append(self.encode_partition(data, raw_pid))
         return pa.concat_tables(outs)

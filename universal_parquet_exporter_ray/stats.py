@@ -46,6 +46,10 @@ def column_stats(arr: pa.Array | pa.ChunkedArray, max_sample: int = 4096) -> Col
     n_nulls = sample.null_count
     if n == 0 or n_nulls == n:
         return ColumnStats(n, n_nulls, 0, 0.0, float(n), 0.0, 0.0, int(arr.nbytes))
+    if pa.types.is_nested(sample.type) or pa.types.is_dictionary(sample.type):
+        # list/struct/map: pc.unique / not_equal have no kernels — emit
+        # neutral stats; the selector routes nested types to zstd/plain
+        return ColumnStats(n, n_nulls, n, 1.0, 1.0, 8.0, 0.0, int(arr.nbytes))
     vals = sample.drop_null() if n_nulls else sample
     n_distinct = len(pc.unique(vals))
     # run lengths over the sample (order-sensitive; stride sampling underestimates

@@ -1,0 +1,173 @@
+"""Round-2 distributed-operator tests: range-partitioned rank, exact
+bucket-pair all-pairs, distributed LSH verify helpers, SQL ingestion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def test_distributed_rank_matches_pandas(ray_session):
+    from universal_parquet_exporter_ray.stages.rank import distributed_rank
+
+    rng = np.random.default_rng(3)
+    # duplicates AND near-unique values, multiple blocks
+    v = np.concatenate([rng.integers(0, 50, 500), rng.normal(0, 1, 1500)])
+    df = pd.DataFrame({"k": np.arange(len(v), dtype=np.int64), "v": v})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = (
+        distributed_rank(ds, "v", "r", descending=True, max_splitters=15)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = df["v"].rank(method="min", ascending=False).astype("int64")
+    assert np.array_equal(out["r"].to_numpy(), expected.to_numpy())
+
+
+def test_distributed_rank_ascending_and_ties(ray_session):
+    from universal_parquet_exporter_ray.stages.rank import distributed_rank
+
+    df = pd.DataFrame({"k": np.arange(12, dtype=np.int64),
+                       "v": [5.0, 5.0, 1.0, 3.0, 3.0, 3.0, 9.0, 1.0, 1.0, 2.0, 9.0, 5.0]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        distributed_rank(ds, "v", "r", descending=False, max_splitters=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = df["v"].rank(method="min", ascending=True).astype("int64")
+    assert np.array_equal(out["r"].to_numpy(), expected.to_numpy())
+
+
+def test_pair_group_all_pairs_exact(ray_session):
+    """Bucket-pair groups find EXACTLY the brute-force cosine pairs."""
+    from universal_parquet_exporter_ray.stages.ann import (
+        PairGroupReplicate,
+        _normalize,
+        all_pairs_group,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, G, thr = 120, 16, 3, 0.5
+    mat = rng.normal(0, 1, (n, dim))
+    mat[10] = mat[40] * 1.01  # guaranteed near-dup pair
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    rep = ds.map_batches(
+        PairGroupReplicate, fn_constructor_kwargs={"n_buckets": G},
+        batch_format="pandas", concurrency=2,
+    )
+    pairs = (
+        rep.groupby("pg")
+        .map_groups(all_pairs_group(thr, G), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    nm = _normalize(mat.astype(np.float64))
+    sims = nm @ nm.T
+    ai, bi = np.nonzero(np.triu(sims >= thr, k=1))
+    assert len(pairs) == len(ai) > 0
+    assert pairs["id_a"].tolist() == ids[ai].tolist()
+    assert pairs["id_b"].tolist() == ids[bi].tolist()
+    ppm = (np.sign(sims[ai, bi] * 1e6) * np.floor(np.abs(sims[ai, bi] * 1e6) + 0.5)).astype(np.int64)
+    assert pairs["cos_ppm"].tolist() == ppm.tolist()
+
+
+def test_shingle_stage_and_pair_jaccard():
+    from universal_parquet_exporter_ray.stages.dedup import (
+        ShingleStage,
+        jaccard_from_sets,
+        pair_jaccard_batch,
+        word_shingle_hashes,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    sh = ShingleStage()(pd.DataFrame({"doc_id": [1, 2], "text": [a, b]}))
+    assert sh["n_sh"].tolist() == [len(word_shingle_hashes(a)), len(word_shingle_hashes(b))]
+    joined = pd.DataFrame(
+        {
+            "doc_a": [1], "doc_b": [2],
+            "sh_a": [sh["sh"].iloc[0]], "sh_b": [sh["sh"].iloc[1]],
+            "n_a": [sh["n_sh"].iloc[0]], "n_b": [sh["n_sh"].iloc[1]],
+        }
+    )
+    out = pair_jaccard_batch(joined)
+    jac = jaccard_from_sets(word_shingle_hashes(a), word_shingle_hashes(b))
+    assert out["inter"].iloc[0] / out["union"].iloc[0] == pytest.approx(jac)
+
+
+def test_simhash_md5_parity_with_duckdb():
+    """Engine token hash == DuckDB md5_number_upper — the oracle contract."""
+    import duckdb
+    import hashlib
+
+    from universal_parquet_exporter_ray.stages.dedup import SimHashStage
+
+    con = duckdb.connect()
+    for tok in ["abc", "hello", "Zebra42"]:
+        sql_h = con.execute("SELECT md5_number_upper(?)", [tok]).fetchone()[0]
+        py_h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        assert sql_h == py_h
+    # full simhash reproducible
+    s = SimHashStage.simhash64("a b c a")
+    assert s == SimHashStage.simhash64("a b c a")
+
+
+def test_read_sql_roundtrip(ray_session, tmp_path):
+    import duckdb
+
+    from universal_parquet_exporter_ray.sources.sql import (
+        duckdb_factory,
+        read_sql_query,
+        validate_connection,
+    )
+
+    db = str(tmp_path / "src.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id, 'v' || range AS name FROM range(100)")
+    con.close()
+    validate_connection(duckdb_factory(db))
+    ds = read_sql_query("SELECT id, name FROM t", duckdb_factory(db))
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(df) == 100
+    assert df["name"].iloc[7] == "v7"
+
+
+def test_read_sql_validate_fails_fast(tmp_path):
+    from universal_parquet_exporter_ray.sources.sql import (
+        duckdb_factory,
+        validate_connection,
+    )
+
+    with pytest.raises(Exception):
+        validate_connection(duckdb_factory(str(tmp_path / "missing.db")))
+
+
+def test_decimal_column_through_encode(ray_session, tmp_path):
+    """decimal128(12,2) survives the full encode→decode pipeline."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from universal_parquet_exporter_ray.pipelines.encode import encode_dataset
+    from universal_parquet_exporter_ray.pipelines.verify import decoded_dataset
+
+    vals = pa.array([1234.56, 0.01, 99999.99, 7.5] * 100)
+    dec = pc.cast(vals, pa.decimal128(12, 2))
+    t = pa.table({"k": pa.array(range(400), type=pa.int64()), "price": dec})
+    out = str(tmp_path / "out")
+    encode_dataset(
+        rd.from_arrow(t), out, partition_by=None, hash_cols=["k"],
+        target_rows_per_partition=150, concurrency=2,
+    )
+    df = decoded_dataset(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert [str(x) for x in df["price"]] == [str(x) for x in t["price"].to_pylist()]

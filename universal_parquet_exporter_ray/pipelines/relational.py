@@ -551,16 +551,14 @@ def q_datediff(sf_dir: str):
 )
 def q_rank_global(sf_dir: str):
     # F3 (reference: RANK() OVER (ORDER BY o.price DESC), advanced:229).
-    # Distributed plan: rank(v) = 1 + count(rows with value > v), computed
-    # from the (distinct-value → count) table — no global sorted pass. The
-    # distinct-value table is assumed driver-small; for near-unique keys at
-    # 100 TB use the sort-based variant instead.
+    # Fully distributed: range-partition on sampled splitters + per-range
+    # local rank + exact range offsets (stages/rank.py). Driver state is
+    # O(#ranges) — safe even for near-unique keys at 100 TB (the previous
+    # distinct-value-table plan pulled ~|orders| rows onto the driver).
+    from ..stages.rank import distributed_rank
+
     ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    vc = ds.groupby("o_totalprice").aggregate(Count(alias_name="cnt")).to_pandas()
-    vc = vc.sort_values("o_totalprice", ascending=False).reset_index(drop=True)
-    vc["price_rank"] = (vc.cnt.cumsum().shift(1, fill_value=0) + 1).astype("int64")
-    lookup = vc[["o_totalprice", "price_rank"]]
-    return broadcast_merge(ds, lookup, left_on=["o_totalprice"], how="inner")
+    return distributed_rank(ds, "o_totalprice", "price_rank", descending=True)
 
 
 @q(
@@ -686,3 +684,80 @@ def q_window_agg(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
     return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
+
+
+@q(
+    "join_compound",
+    "SELECT e.user_id, e.event_type, count(*) AS n_later, "
+    "CAST(round(sum(e.value) * 10000) AS BIGINT) AS sum_value_dm "
+    "FROM events e JOIN (SELECT user_id, event_type, min(ts) AS min_ts "
+    "FROM events GROUP BY user_id, event_type) f "
+    "ON e.user_id = f.user_id AND e.event_type = f.event_type "
+    "AND e.event_type IN ('click', 'view') "
+    "WHERE e.ts > f.min_ts GROUP BY e.user_id, e.event_type",
+)
+def q_join_compound(sf_dir: str):
+    # J4: composite join key + extra join predicate (reference:
+    # sqlserver_basic_example.py:144 — ON t.object_id = p.object_id AND
+    # p.index_id IN (0,1)). Physical plan: IN-filter pushed below the join
+    # on both sides, Ray hash join on the COMPOUND key (user_id, event_type),
+    # then combiner-first partial aggregation.
+    kinds = ("click", "view")
+
+    def in_kinds(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(kinds)))
+
+    ev = load_table(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+    ev = ev.map_batches(in_kinds, batch_format="pyarrow")
+    firsts = (
+        load_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(in_kinds, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("ts", alias_name="min_ts"))
+    )
+    firsts = _rename(firsts, {"user_id": "f_user", "event_type": "f_kind"})
+    joined = ev.join(
+        firsts,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id", "event_type"),
+        right_on=("f_user", "f_kind"),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"] > df["min_ts"]]
+        g = df.groupby(["user_id", "event_type"], sort=False).agg(
+            n_p=("value", "size"), v_p=("value", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n_p", alias_name="n_later"), Sum("v_p", alias_name="sum_value"))
+    )
+    return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
+
+
+@q(
+    "global_count_distinct",
+    "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
+)
+def q_global_count_distinct(sf_dir: str):
+    # A3 global form: two-phase distinct (hash-partition distinct keys, then
+    # a distributed count — the distinct key set never reaches the driver)
+    ds = load_table(sf_dir, "orders", ["o_custkey"])
+    distinct = ds.groupby("o_custkey").aggregate(Count(alias_name="_c"))
+    return pd.DataFrame([{"n_custs": int(distinct.count())}])
+
+
+@q(
+    "head_preview",
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5",
+)
+def q_head_preview(sf_dir: str):
+    # O6 head preview (reference: examples/sqlserver_advanced_example.py:202):
+    # ds.take(n) over a sorted stream — tiny driver result by construction
+    ds = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    rows = ds.sort("c_custkey").take(5)
+    return pd.DataFrame(rows)

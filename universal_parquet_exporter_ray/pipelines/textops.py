@@ -19,7 +19,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..sources import load_table, table_path
-from ..stages.ann import BatchTopKCosine, CosinePairsStage, _normalize, final_topk
+from ..stages.ann import BatchTopKCosine, _normalize, final_topk
 from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
 from ..stages.text import FingerprintStage, LangIdStage, quality_score, token_count
@@ -62,88 +62,167 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id", "n_copies"])
 
 
-@q("minhash_lsh_pairs")
+MINHASH_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(round(i * 1000000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jac_ppm
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE 2 * i >= ca.n + cb.n - i
+"""
+
+
+@q("minhash_lsh_pairs", MINHASH_ORACLE_SQL)
 def q_minhash_lsh_pairs(sf_dir: str):
     """MinHash(64 perms) + LSH(16×4 bands) near-dup candidates, verified with
-    exact 5-gram Jaccard ≥ 0.5. Non-SQL-expressible (rows-only check).
+    exact word-3-gram Jaccard ≥ 0.5 — every stage distributed:
 
-    Scale shape: texts stay put; only (band, band_hash, doc_id) rows and the
-    candidate-pair id list shuffle. Pair verification re-reads only candidate
-    docs via a broadcast id-filter."""
+    - band rows self-JOIN on (band, band_hash) → candidate pairs (one Ray
+      hash join; no per-bucket Python calls, no driver bucket merge);
+    - pairs dedup via groupby;
+    - Jaccard verify: pairs ⋈ shingle-set Dataset on doc_a and doc_b, then a
+      per-pair intersect inside map_batches. No text/shingle dict ever
+      reaches the driver (the previous plan pulled candidate texts into a
+      driver dict and verified in a list comprehension).
+
+    Oracle: exact all-pairs word-3-gram Jaccard in SQL — valid because LSH at
+    16×4 bands recalls every pair with J ≥ 0.5 on this corpus (verified at
+    sf0.001/sf0.01; integer (2·inter ≥ union) threshold on both sides)."""
+    from ..stages.dedup import band_stage_fn, pair_jaccard_batch, shingle_stage_fn
+
+    # task-form stages (worker-process-cached state), NOT actor pools: Ray
+    # 2.49's hash-shuffle join deadlocks when fed by an actor-pool operator
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    bands = docs.map_batches(
-        MinHashBandStage, batch_format="pandas", concurrency=4
-    ).materialize()  # small (16 rows/doc) intermediate, reused twice
-    # only buckets holding ≥2 docs can produce pairs. Per-batch PARTIAL
-    # bucket counts (combiner) shrink what leaves the workers; the final
-    # merge over distinct keys is driver-side here (small at test scale —
-    # at 100 TB the same partials feed a groupby instead; never a
-    # per-bucket map_groups over millions of singleton buckets).
-    partial = bands.map_batches(
-        lambda df: df.groupby(["band", "band_hash"], sort=False)
-        .size()
-        .rename("n")
-        .reset_index(),
-        batch_format="pandas",
-    ).to_pandas()
-    totals = partial.groupby(["band", "band_hash"], sort=False)["n"].sum()
-    dup = totals[totals > 1].reset_index()
-    if len(dup) == 0:
-        pairs = pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    else:
-        dupset = set(zip(dup["band"].astype(int), dup["band_hash"].astype(np.uint64)))
+    bands = docs.map_batches(band_stage_fn, batch_format="pandas")
 
-        def in_dup(df: pd.DataFrame) -> pd.DataFrame:
-            mask = [
-                (b, h) in dupset
-                for b, h in zip(df["band"].astype(int), df["band_hash"].astype(np.uint64))
-            ]
-            return df[np.array(mask, dtype=bool)]
+    def ren(names: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([names.get(c, c) for c in t.column_names])
 
-        cand = bands.map_batches(in_dup, batch_format="pandas").to_pandas()
-        m = cand.merge(cand, on=["band", "band_hash"])
-        m = m[m.doc_id_x < m.doc_id_y]
-        pairs = (
-            m[["doc_id_x", "doc_id_y"]]
-            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-            .drop_duplicates()
-        )
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    cand_ids = set(pd.concat([pairs.doc_a, pairs.doc_b]).unique().tolist())
-    texts = (
-        docs.map_batches(
-            lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
-        .to_dict()
+        return fn
+
+    rhs = bands.map_batches(ren({"doc_id": "doc_b"}), batch_format="pyarrow")
+    joined = bands.join(
+        rhs, join_type="inner", num_partitions=8, on=("band", "band_hash")
     )
-    # shingle sets computed once per candidate DOC, reused across its pairs
-    from ..stages.dedup import jaccard_from_sets, word_shingle_hashes
+    cand = joined.map_batches(
+        lambda df: df.loc[df["doc_id"] < df["doc_b"], ["doc_id", "doc_b"]].rename(
+            columns={"doc_id": "doc_a"}
+        ),
+        batch_format="pandas",
+    )
+    pairs = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    sh = docs.map_batches(shingle_stage_fn, batch_format="pandas")
+    sh_a = sh.map_batches(
+        ren({"doc_id": "doc_a", "sh": "sh_a", "n_sh": "n_a"}), batch_format="pyarrow"
+    )
+    sh_b = sh.map_batches(
+        ren({"doc_id": "doc_b", "sh": "sh_b", "n_sh": "n_b"}), batch_format="pyarrow"
+    )
+    enriched = pairs.join(sh_a, join_type="inner", num_partitions=4, on=("doc_a",)).join(
+        sh_b, join_type="inner", num_partitions=4, on=("doc_b",)
+    )
+    verified = enriched.map_batches(pair_jaccard_batch, batch_format="pandas")
 
-    shingles = {i: word_shingle_hashes(t) for i, t in texts.items()}
-    jac = [
-        jaccard_from_sets(shingles[a], shingles[b])
-        for a, b in zip(pairs.doc_a, pairs.doc_b)
-    ]
-    pairs = pairs.assign(jaccard=np.round(jac, 6))
-    out = pairs[pairs.jaccard >= 0.5].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return out
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[2 * df["inter"] >= df["union"]]
+        from .relational import scaled_int
+
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": df["doc_b"].to_numpy(dtype=np.int64),
+                "jac_ppm": scaled_int(
+                    df["inter"].to_numpy(dtype=np.float64)
+                    * 1000000.0
+                    / df["union"].to_numpy(dtype=np.float64),
+                    1.0,
+                ),
+            }
+        )
+
+    out = verified.map_batches(finish, batch_format="pandas").to_pandas()
+    if len(out) == 0 and list(out.columns) != ["doc_a", "doc_b", "jac_ppm"]:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-@q("simhash64")
+SIMHASH_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) r(b) GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)
+              AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, lpad(lower(hex(s)), 16, '0') AS simhash FROM sh
+"""
+
+
+@q("simhash64", SIMHASH_ORACLE_SQL)
 def q_simhash64(sf_dir: str):
-    """SimHash (64-bit, token-hash majority vote) per document. Rows-only."""
+    """SimHash (64-bit, token-hash majority vote) per document. Token hash is
+    md5-low64 so the DuckDB twin (``md5_number_upper`` + per-bit votes) is an
+    exact oracle."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=(1, 4))
 
 
-@q("fingerprint")
+def _fingerprint_oracle_sql(k: int = 8, base: int = 1099511628211) -> str:
+    """SQL twin of the Karp–Rabin window hash: the polynomial
+    sum(byte_j * base^(k-1-j)) mod 2^64 is computed with exact HUGEINT
+    products and one final mod — homomorphic to the engine's per-product
+    uint64 wraparound. ASCII text ⇒ unicode(char) == utf-8 byte."""
+    terms = " + ".join(
+        f"unicode(substr(text, i + {j}, 1))::HUGEINT * {pow(base, k - 1 - j, 1 << 64)}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - {k - 2}),
+                i -> CAST(({terms}) % 18446744073709551616 AS UBIGINT))) AS hh
+  FROM documents
+)
+SELECT doc_id, lpad(lower(hex(min(hh))), 16, '0') AS fingerprint
+FROM h GROUP BY doc_id
+"""
+
+
+@q("fingerprint", _fingerprint_oracle_sql())
 def q_fingerprint(sf_dir: str):
-    """Karp–Rabin rolling-hash min-fingerprint per document. Rows-only."""
+    """Karp–Rabin rolling-hash min-fingerprint per document, with an exact
+    polynomial-reformulation SQL oracle."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(FingerprintStage, batch_format="pandas", concurrency=(1, 4))
 
@@ -217,9 +296,40 @@ def q_quality_by_lang(sf_dir: str):
     return out.map_batches(scale, batch_format="pandas")
 
 
-@q("lang_id")
+def _lang_id_oracle_sql() -> str:
+    """SQL twin built from the SAME stopword tables as the engine stage.
+    Tie-break parity: the engine keeps the lexicographically first language
+    among equal max scores (strict > while iterating sorted langs) — the SQL
+    mirror is ``ORDER BY n DESC, lang``; zero matches → 'unknown'."""
+    from ..stages.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+sw(lang, w) AS (VALUES {rows}),
+sc AS (
+  SELECT t.doc_id, s.lang, count(*) AS n
+  FROM toks t JOIN sw s ON t.tok = s.w GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM sc
+)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+@q("lang_id", _lang_id_oracle_sql())
 def q_lang_id(sf_dir: str):
-    """Stopword-table language-ID heuristic (actor pool). Rows-only."""
+    """Stopword-table language-ID heuristic (actor pool), with an exact SQL
+    twin over the same stopword tables."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 4))
 
@@ -229,21 +339,55 @@ def q_lang_id(sf_dir: str):
 # ----------------------------------------------------------------------
 
 
-@q("ann_topk")
-def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
-    """Brute-force cosine top-k: queries (vec_id < n_queries) broadcast once,
-    one matmul per batch, batch-local top-k → per-query merge. Rows-only
-    (float-tie rank boundaries make a SQL twin hash-unstable)."""
-    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+def _fetch_queries(ds, n_queries: int):
+    """Pull the (tiny, id-bounded) query rows to the driver and normalize —
+    the query set is k×dim floats, never corpus-sized."""
     qdf = (
-        ds.map_batches(
-            lambda df: df[df["vec_id"] < n_queries], batch_format="pandas"
-        )
+        ds.map_batches(lambda df: df[df["vec_id"] < n_queries], batch_format="pandas")
         .to_pandas()
         .sort_values("vec_id")
     )
     qids = qdf["vec_id"].to_numpy(dtype=np.int64)
     qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    return qids, qmat
+
+
+def _ppm_topk(out, k):
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import scaled_int
+
+        df = df.copy()
+        df["cos_ppm"] = scaled_int(df["cos"], 1e6)
+        return df[["query_id", "vec_id", "cos_ppm", "rank"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+ANN_TOPK_ORACLE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid AS query_id, v.vec_id AS vec_id,
+         list_cosine_similarity(CAST(q.e AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN embeddings v ON v.vec_id != q.qid
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_ppm, rank
+FROM r WHERE rank <= 5
+"""
+
+
+@q("ann_topk", ANN_TOPK_ORACLE_SQL)
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Brute-force cosine top-k: queries (vec_id < n_queries) broadcast once,
+    one matmul per batch, batch-local top-k → per-query merge. Exact, so the
+    SQL twin (integer-scaled cosines, vec_id tie-break) is a real oracle."""
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qmat = _fetch_queries(ds, n_queries)
     qref = ray.put((qids, qmat))
     cands = ds.map_batches(
         BatchTopKCosine,
@@ -252,57 +396,68 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
         concurrency=(1, 4),
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
-
-    def round_cos(df: pd.DataFrame) -> pd.DataFrame:
-        df["cos"] = df["cos"].round(6)
-        return df
-
-    return out.map_batches(round_cos, batch_format="pandas")
+    return _ppm_topk(out, k)
 
 
-@q("embedding_near_dup")
-def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4):
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold). The corpus
-    matrix is broadcast (fits in object store at test scale; LSH/IVF bucket
-    groupby is the stated scale path). Rows-only."""
+NEAR_DUP_ORACLE_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  * 1000000.0) AS BIGINT) AS cos_ppm
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+@q("embedding_near_dup", NEAR_DUP_ORACLE_SQL)
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4):
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ threshold), fully
+    distributed: each vector is replicated to its G bucket-PAIR groups
+    (``PairGroupReplicate``), a ``groupby(pg).map_groups`` computes the
+    all-pairs matmul within each group, and every unordered pair co-locates
+    in exactly one group. Shuffle = G×data; per-group memory = 2n/G rows;
+    the driver never sees a corpus-sized structure (the previous plan was a
+    full-corpus ``to_pandas`` + O(n²·corpus-broadcast)). Pick G ≈
+    √parallelism at cluster scale."""
+    from ..stages.ann import PairGroupReplicate, all_pairs_group
+
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    corpus = ds.to_pandas().sort_values("vec_id")
-    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    mat = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(np.float64))
-    ref = ray.put((ids, mat))
-    pairs = ds.map_batches(
-        CosinePairsStage,
-        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
+    rep = ds.map_batches(
+        PairGroupReplicate,
+        fn_constructor_kwargs={"n_buckets": n_buckets},
         batch_format="pandas",
         concurrency=(1, 4),
-    ).to_pandas()
-    if "cos" not in pairs.columns:  # no pair anywhere → schema-less empty ds
-        return pd.DataFrame(
+    )
+    pairs = rep.groupby("pg").map_groups(
+        all_pairs_group(threshold, n_buckets), batch_format="pandas"
+    )
+    out = pairs.to_pandas()
+    if len(out) == 0 and list(out.columns) != ["id_a", "id_b", "cos_ppm"]:
+        out = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype="int64"),
                 "id_b": pd.Series([], dtype="int64"),
-                "cos": pd.Series([], dtype="float64"),
+                "cos_ppm": pd.Series([], dtype="int64"),
             }
         )
-    pairs["cos"] = pairs["cos"].round(6)
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 @q("ann_ivf_topk")
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16):
     """IVF-bucketed approximate top-k (the scale path for ann_topk): a
-    deterministic k-means coarse quantizer fit driver-side on a sample,
-    centroids broadcast; each batch scores only vectors in a query's nprobe
-    nearest buckets. Approximate → rows-only check."""
+    deterministic k-means coarse quantizer fit on a BOUNDED sample
+    (``ds.limit(65536)`` — never the full corpus), centroids broadcast; each
+    batch scores only vectors in a query's nprobe nearest buckets.
+    Approximate → rows-only check (the exact twin ``ann_topk`` is oracled)."""
     from ..stages.ann import IvfTopKCosine, kmeans_fit
 
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    corpus = ds.to_pandas().sort_values("vec_id")  # test-scale sample = all
-    mat = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(np.float64))
+    fit_df = ds.limit(65536).to_pandas()  # bounded k-means fit sample
+    mat = _normalize(np.stack(fit_df["embedding"].to_numpy()).astype(np.float64))
     centroids = kmeans_fit(mat, n_clusters)
-    qdf = corpus[corpus["vec_id"] < n_queries]
-    qids = qdf["vec_id"].to_numpy(dtype=np.int64)
-    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qids, qmat = _fetch_queries(ds, n_queries)
     qref = ray.put((qids, qmat))
     cref = ray.put(centroids)
     cands = ds.map_batches(
@@ -312,12 +467,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int
         concurrency=4,
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
-
-    def round_cos(df: pd.DataFrame) -> pd.DataFrame:
-        df["cos"] = df["cos"].round(6)
-        return df
-
-    return out.map_batches(round_cos, batch_format="pandas")
+    return _ppm_topk(out, k)
 
 
 # ----------------------------------------------------------------------
@@ -325,24 +475,53 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int
 # ----------------------------------------------------------------------
 
 
-@q("multimodal_features")
+def _multimodal_oracle_sql(dim: int = 8) -> str:
+    """SQL twin of the deterministic fake decoder: feature_i =
+    round(sha256_byte_i / 255 * (i+1), 6), exported as ppm ints."""
+    cols = ", ".join(
+        "CAST(round(round(('0x' || substr(sha256(text), {lo}, 2))::UBIGINT"
+        " / 255.0 * {m}, 6) * 1000000.0) AS BIGINT) AS f{i}_ppm".format(
+            lo=2 * i + 1, m=i + 1, i=i
+        )
+        for i in range(dim)
+    )
+    return (
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        f"strlen(text) AS n_bytes, {cols} FROM documents"
+    )
+
+
+@q("multimodal_features", _multimodal_oracle_sql())
 def q_multimodal_features(sf_dir: str):
     """Binary media column → actor-pool feature extraction. The payloads are
     the documents' utf-8 bytes standing in for image blobs; decode is a
-    deterministic fake (real decoders are NotImplementedError-gated)."""
+    deterministic sha256-based fake (real decoders are
+    NotImplementedError-gated), which gives the whole pipeline an exact SQL
+    oracle (features exported as ppm ints)."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
     media = ds.map_batches(
         lambda df: to_media_table(df, "doc_id", "text", "image"),
         batch_format="pandas",
     )
     # small batches: wide binary rows (multimodal memory rule)
-    return media.map_batches(
+    feats = media.map_batches(
         MediaDecodeStage,
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=(1, 4),
     )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import scaled_int
+
+        out = df[["media_id", "kind", "n_bytes"]].copy()
+        mat = np.stack(df["feature"].to_numpy())
+        for i in range(mat.shape[1]):
+            out[f"f{i}_ppm"] = scaled_int(mat[:, i], 1e6)
+        return out
+
+    return feats.map_batches(widen, batch_format="pandas")
 
 
 # ----------------------------------------------------------------------
@@ -411,18 +590,128 @@ def q_encode_lineitem_roundtrip(sf_dir: str):
     return decoded_dataset(out).drop_columns(["_part"])
 
 
-@q("encode_manifest")
+@q(
+    "encode_manifest",
+    "SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_partitions, "
+    "count(*) AS n_rows, 5 AS n_columns FROM documents",
+)
 def q_encode_manifest(sf_dir: str):
-    """Manifest dataset of an encode run over documents: per-partition codec
-    choices, sizes, ratios, lineage. Rows-only."""
+    """Manifest dataset of an encode run over documents, rolled up to the
+    SQL-checkable invariants: with ``partition_by=None`` the engine creates
+    exactly ``ceil(total/target)`` hash partitions; the manifest must account
+    for every input row and all 5 columns per partition. (Per-partition
+    detail — codec choices, ratios, lineage — is exercised by pytest and the
+    bench; the roll-up is what a SQL oracle can attest.)"""
     from .encode import encode_dataset
 
     out = tempfile.mkdtemp(prefix="upxr_mf_")
     mdf = encode_dataset(
         table_path(sf_dir, "documents"),
         out,
-        partition_by="source",
+        partition_by=None,
         hash_cols=["doc_id"],
-        target_rows_per_partition=5000,
+        target_rows_per_partition=100,
     ).to_pandas()
-    return mdf.sort_values("partition_id").reset_index(drop=True)
+    return pd.DataFrame(
+        [
+            {
+                "n_partitions": int(len(mdf)),
+                "n_rows": int(mdf.n_rows.sum()),
+                "n_columns": int(mdf.n_columns.max()),
+            }
+        ]
+    )
+
+
+@q(
+    "decimal_roundtrip",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents "
+    "FROM lineitem WHERE l_orderkey % 10 = 0",
+)
+def q_decimal_roundtrip(sf_dir: str):
+    """DECIMAL(12,2) end-to-end (reference round-trips DECIMAL(10,2):
+    tests/test_query_executor_realDB.py:98,362): cast the price to
+    decimal128(12,2), push it through the full encode→decode codec pipeline,
+    and return exact integer cents — a hash match proves the decimal column
+    survived the codec layer bit-identically."""
+    import pyarrow.compute as pc
+
+    from .encode import encode_dataset
+    from .relational import scaled_int
+    from .verify import decoded_dataset
+
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ds = load_table(sf_dir, "lineitem", cols)
+
+    def to_decimal(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 10 == 0))
+        dec = pc.cast(t["l_extendedprice"].combine_chunks(), pa.decimal128(12, 2))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_dec": dec,
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="upxr_dec_")
+    encode_dataset(
+        ds.map_batches(to_decimal, batch_format="pyarrow"),
+        out,
+        partition_by=None,
+        hash_cols=["l_orderkey", "l_linenumber"],
+        target_rows_per_partition=2000,
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        # decimal(12,2) → float64 is exact at these magnitudes; ×100 → int
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "l_linenumber": df["l_linenumber"].astype("int64"),
+                "price_cents": scaled_int(
+                    df["price_dec"].astype("float64"), 100.0
+                ),
+            }
+        )
+
+    return decoded_dataset(out).map_batches(cents, batch_format="pandas")
+
+
+@q(
+    "sql_ingest",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def q_sql_ingest(sf_dir: str):
+    """DB-source ingestion parity (reference's entire left half is a live DB
+    extract): load the customer table into a DuckDB file database, then
+    extract it back through ``ray.data.read_sql`` via the DB-API connection
+    factory (sources/sql.py) — preflight validation + per-task cursor
+    lifecycle mirroring ``query_executor.py:8-37``."""
+    import hashlib as _hashlib
+    import os
+
+    import duckdb
+
+    from ..sources.sql import duckdb_factory, read_sql_query
+
+    src = table_path(sf_dir, "customer")
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"upxr_sqlsrc_{_hashlib.sha256(src.encode()).hexdigest()[:12]}.db",
+    )
+    # (re)build the DB from the parquet source — the "live database" stand-in
+    if os.path.exists(db):
+        os.unlink(db)
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE customer AS "
+        f"SELECT c_custkey, c_name, c_acctbal FROM read_parquet('{src}')"
+    )
+    con.close()
+    return read_sql_query(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer",
+        duckdb_factory(db),
+    )

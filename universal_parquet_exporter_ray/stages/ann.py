@@ -24,6 +24,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _empty_candidates() -> pd.DataFrame:
+    """Schema-typed empty frame: an empty Ray block with no schema trips
+    'RefBundle with a different schema' warnings and breaks downstream
+    to_pandas typing."""
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 class BatchTopKCosine:
     """map_batches stage: emit batch-local top-k (query_id, vec_id, cos) rows.
 
@@ -36,6 +59,8 @@ class BatchTopKCosine:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_candidates()
         vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
         emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         emb = _normalize(emb)
@@ -108,6 +133,8 @@ class IvfTopKCosine:
         self.probes = order[:, :nprobe]  # (n_queries, nprobe)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_candidates()
         vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
         emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         buckets = np.argmax(emb @ self.centroids.T, axis=1)
@@ -134,27 +161,90 @@ class IvfTopKCosine:
         )
 
 
-class CosinePairsStage:
-    """All-pairs cosine ≥ threshold between a broadcast (normalized) corpus
-    matrix and each batch — embedding near-duplicate detection. The corpus
-    matrix must fit in the object store; at larger scale replace with an
-    LSH/IVF bucket groupby (same emit shape)."""
+class PairGroupReplicate:
+    """map_batches stage for EXACT distributed all-pairs: each row is hashed
+    into one of ``G`` buckets (``vec_id % G``) and replicated to the ``G``
+    bucket-PAIR groups ``(min(b,g), max(b,g))`` it participates in. Every
+    unordered row pair then co-locates in exactly one group.
 
-    def __init__(self, corpus_ref, threshold: float):
-        self.ids, self.mat = ray.get(corpus_ref)
-        self.threshold = threshold
+    Scale shape: shuffle volume is G × data; per-group memory is ~2·n/G rows,
+    so pick G ≈ √(cluster parallelism) and each group's all-pairs matmul fits
+    one worker. No corpus-sized structure ever touches the driver (the
+    previous plan pulled the whole embedding table driver-side and broadcast
+    an O(corpus) matrix)."""
+
+    def __init__(self, n_buckets: int):
+        self.G = int(n_buckets)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
-        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        sims = emb @ self.mat.T  # (batch, corpus)
-        bi, ci = np.nonzero(sims >= self.threshold)
-        a, b, c = vec_ids[bi], self.ids[ci], sims[bi, ci]
-        keep = a < b  # dedup unordered pairs, drop self-pairs
+        G = self.G
+        n = len(batch)
+        if n == 0:
+            out = batch.copy()
+            out["pg"] = pd.Series([], dtype="int64")
+            out["bkt"] = pd.Series([], dtype="int64")
+            return out
+        b = (batch["vec_id"].to_numpy(dtype=np.int64) % G).astype(np.int64)
+        rep = batch.iloc[np.repeat(np.arange(n), G)].reset_index(drop=True)
+        bb = np.repeat(b, G)
+        gg = np.tile(np.arange(G, dtype=np.int64), n)
+        lo, hi = np.minimum(bb, gg), np.maximum(bb, gg)
+        rep["pg"] = lo * G + hi
+        rep["bkt"] = bb
+        return rep
+
+
+def all_pairs_group(threshold: float, n_buckets: int, scale: float = 1e6):
+    """map_groups reducer for one bucket-pair group: exact cosine all-pairs
+    between (or within) the two buckets, emitting (id_a, id_b, cos_ppm) for
+    cos ≥ threshold. Pairs are globally unique by construction."""
+    G = int(n_buckets)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pg = int(g["pg"].iloc[0])
+        i, j = divmod(pg, G)
+        # replicas are unique per (row, partner-bucket): inside group (i, j)
+        # each row appears exactly once
+        g = g.drop_duplicates(subset=["vec_id"])
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        emb = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        bkt = g["bkt"].to_numpy(dtype=np.int64)
+        if i == j:
+            order = np.argsort(ids)
+            ids, emb = ids[order], emb[order]
+            sims = emb @ emb.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b, c = ids[ai], ids[bi], sims[ai, bi]
+        else:
+            li, ri = np.flatnonzero(bkt == i), np.flatnonzero(bkt == j)
+            if len(li) == 0 or len(ri) == 0:
+                return _pair_ppm_empty()
+            sims = emb[li] @ emb[ri].T
+            ai, bi = np.nonzero(sims >= threshold)
+            a, b, c = ids[li][ai], ids[ri][bi], sims[ai, bi]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            a, b = a2, b2
+        if len(a) == 0:
+            return _pair_ppm_empty()
+        ppm = (np.sign(c * scale) * np.floor(np.abs(c * scale) + 0.5)).astype(np.int64)
         return pd.DataFrame(
             {
-                "id_a": a[keep],
-                "id_b": b[keep],
-                "cos": c[keep].astype(np.float64),
+                "id_a": a.astype(np.int64),
+                "id_b": b.astype(np.int64),
+                "cos_ppm": ppm,
             }
         )
+
+    return reduce
+
+
+def _pair_ppm_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cos_ppm": pd.Series([], dtype="int64"),
+        }
+    )

@@ -127,6 +127,81 @@ class MinHashBandStage:
         )
 
 
+# per-worker-process stage caches: Ray 2.49's hash-shuffle join deadlocks
+# when its input operator is an actor pool, so stages that FEED a join run
+# as plain tasks with init-once state cached at worker-process level
+_WORKER_STAGES: dict = {}
+
+
+def band_stage_fn(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-form MinHashBandStage (permutation constants cached per worker
+    process — same init-once economics as an actor, join-safe)."""
+    st = _WORKER_STAGES.get("bands")
+    if st is None:
+        st = _WORKER_STAGES["bands"] = MinHashBandStage()
+    return st(df)
+
+
+def shingle_stage_fn(df: pd.DataFrame) -> pd.DataFrame:
+    st = _WORKER_STAGES.get("shingles")
+    if st is None:
+        st = _WORKER_STAGES["shingles"] = ShingleStage()
+    return st(df)
+
+
+class ShingleStage:
+    """(doc_id, text) → (doc_id, sh, n_sh): the doc's distinct word-w-gram
+    shingle hashes as a sorted list column, for the DISTRIBUTED Jaccard
+    verify (pairs ⋈ shingles ⋈ shingles, then a per-pair intersect inside
+    map_batches — no driver-side text dict).
+
+    Hashes are stored as the int64 BIT VIEW of the uint64 values: a raw
+    uint64 column degrades to float64 through pandas blocks and corrupts
+    low bits."""
+
+    def __init__(self, w: int = 3, text_col: str = "text"):
+        self.w = w
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        shs = [
+            word_shingle_hashes(t if isinstance(t, str) else "", self.w).view(np.int64)
+            for t in df[self.text_col]
+        ]
+        # packed little-endian int64 BYTES, not a list column: Arrow's acero
+        # join rejects list-typed non-key fields (and raw uint64 would
+        # degrade to float64 through pandas anyway)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "sh": [s.tobytes() for s in shs],
+                "n_sh": np.array([len(s) for s in shs], dtype=np.int64),
+            }
+        )
+
+
+def pair_jaccard_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-pair exact Jaccard from pre-joined shingle lists. Emits integer
+    (inter, union) so the ≥-threshold filter and the ppm scaling are exact
+    and identical to the SQL oracle."""
+    inters = np.empty(len(df), dtype=np.int64)
+    for i, (sa, sb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+        inters[i] = np.intersect1d(
+            np.frombuffer(sa, dtype=np.int64),
+            np.frombuffer(sb, dtype=np.int64),
+            assume_unique=True,
+        ).size
+    union = df["n_a"].to_numpy(dtype=np.int64) + df["n_b"].to_numpy(dtype=np.int64) - inters
+    return pd.DataFrame(
+        {
+            "doc_a": df["doc_a"].to_numpy(dtype=np.int64),
+            "doc_b": df["doc_b"].to_numpy(dtype=np.int64),
+            "inter": inters,
+            "union": union,
+        }
+    )
+
+
 def bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """One LSH bucket → candidate pairs (doc_a < doc_b)."""
     ids = np.sort(g["doc_id"].unique())
@@ -150,7 +225,11 @@ def jaccard_from_sets(sa: np.ndarray, sb: np.ndarray) -> float:
 
 
 class SimHashStage:
-    """64-bit SimHash over whitespace tokens (token hash = blake2b-8byte)."""
+    """64-bit SimHash over whitespace tokens.
+
+    Token hash = first 8 bytes of md5, little-endian — chosen because it is
+    reproducible in ANSI SQL (DuckDB ``md5_number_upper``), giving the
+    simhash query an exact cross-engine oracle."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -163,8 +242,7 @@ class SimHashStage:
         hs = np.array(
             [
                 np.frombuffer(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-                    dtype=np.uint64,
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], dtype=np.uint64
                 )[0]
                 for t in toks
             ],

@@ -68,7 +68,9 @@ class MediaDecodeStage:
                 "media decoding requires an image/audio library not present "
                 "in this environment; run with fake=True for the plumbing"
             )
-        digest = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
+        # sha256 (not blake2b): reproducible in the DuckDB oracle, so the
+        # multimodal pipeline's fake features get an exact SQL twin
+        digest = hashlib.sha256(payload).digest()[: self.FEATURE_DIM]
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

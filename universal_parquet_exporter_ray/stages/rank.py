@@ -1,0 +1,117 @@
+"""Distributed global RANK: range-partition + per-range local rank + exact
+range offsets.
+
+The classic scale plan for ``RANK() OVER (ORDER BY v)`` (reference:
+``/root/reference/examples/advanced_integration_example.py:229``): no global
+sorted pass, no driver-side distinct-value table (``o_totalprice`` is
+near-unique, so that table is corpus-sized).
+
+1. **Splitters** (bounded): a per-batch stride sample of the rank column is
+   reduced to ≤``max_splitters`` quantile splitters on the driver.
+2. **Exact range counts** (tiny): per-batch ``searchsorted`` + ``bincount``
+   partials summed on the driver → exact exclusive offsets per range
+   (``K`` integers, independent of data size).
+3. **Rank pass**: ``groupby(range).map_groups`` — each range sorts locally
+   and emits ``offset + local_rank`` (``min`` method = SQL RANK ties).
+
+Equal values always share a range (ranges are split on sampled values with a
+consistent ``side``), so ties never straddle ranges and the result is exact.
+Driver state is O(K); every data-sized structure stays in workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _sample_stage(col: str, per_batch: int = 32):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({col: pd.Series([], dtype="float64")})
+        step = max(1, len(v) // per_batch)
+        return pd.DataFrame({col: v[::step][:per_batch]})
+
+    return fn
+
+
+def _range_counts_stage(col: str, splitters: np.ndarray, n_ranges: int):
+    ref = ray.put(splitters)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(ref)
+        r = np.searchsorted(sp, df[col].to_numpy(), side="right")
+        counts = np.bincount(r, minlength=n_ranges)
+        return pd.DataFrame(
+            {
+                "rng": np.arange(n_ranges, dtype=np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    return fn
+
+
+def distributed_rank(
+    ds: "ray.data.Dataset",
+    col: str,
+    out_col: str,
+    *,
+    descending: bool = True,
+    max_splitters: int = 63,
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = RANK() OVER (ORDER BY col [DESC]) to ``ds``."""
+    # 1. bounded splitter sample (stride per batch → quantiles on the driver)
+    sample = (
+        ds.select_columns([col])
+        .map_batches(_sample_stage(col), batch_format="pandas")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    qs = np.linspace(0, 1, max_splitters + 2)[1:-1]
+    splitters = np.unique(np.quantile(sample, qs)) if len(sample) else np.array([])
+    n_ranges = len(splitters) + 1
+
+    # 2. exact per-range counts (partial bincount per batch, tiny driver merge)
+    partials = (
+        ds.select_columns([col])
+        .map_batches(_range_counts_stage(col, splitters, n_ranges), batch_format="pandas")
+        .to_pandas()
+    )
+    counts = (
+        partials.groupby("rng")["n"].sum().reindex(range(n_ranges), fill_value=0).to_numpy()
+    )
+    # exclusive offset: rows ranked BEFORE range r. For descending rank the
+    # highest range (largest values) comes first.
+    if descending:
+        offsets = np.concatenate([[0], np.cumsum(counts[::-1])[:-1]])[::-1].copy()
+    else:
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+    sp_ref = ray.put(splitters)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sp_ref)
+        df = df.copy()
+        df["_rng"] = np.searchsorted(sp, df[col].to_numpy(), side="right").astype(
+            np.int64
+        )
+        return df
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        rng = int(g["_rng"].iloc[0])
+        local = g[col].rank(method="min", ascending=not descending).astype("int64")
+        g = g.drop(columns=["_rng"]).copy()
+        g[out_col] = local + int(off[rng])
+        return g
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_rng")
+        .map_groups(rank_group, batch_format="pandas")
+    )

@@ -68,6 +68,9 @@ def column_stats(arr: pa.Array | pa.ChunkedArray, max_sample: int = 4096) -> Col
         bufs = combine(vals).buffers()
         raw = bufs[2].to_pybytes() if bufs[2] is not None else b""
         avg_len = len(raw) / max(1, m)
+    elif pa.types.is_decimal(vals.type):
+        raw = b""  # to_numpy gives Decimal objects; pointer bytes are noise
+        avg_len = 0.0
     else:
         try:
             raw = vals.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes() if is_int_like(vals.type) else vals.to_numpy(zero_copy_only=False).tobytes()

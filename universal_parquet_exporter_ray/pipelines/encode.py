@@ -9,9 +9,10 @@ Default shape (``shuffle="exchange"``, streaming, no full materialization):
                                                # key, resume filter, hash
                                                # split to per-partition IPC
                                                # chunks on the exchange tier
-    [barrier: tiny ack rows]
+    [barrier: tiny ack rows, one per chunk file]
     from_items(LPT-balanced pid groups)
-      .map_batches(ExchangeEncoder actor pool) # stateful encode + atomic
+      .map_batches(exchange_encode_task)       # stateful encode (worker-
+                                               # cached FSST state) + atomic
                                                # write + manifest row
 
 ``shuffle="groupby"`` keeps the pure-Dataset-API salted
@@ -143,17 +144,32 @@ def encode_dataset(
       shuffle (the north-rule reference shape, kept as the pure-Dataset-API
       path).
     """
+    import time as _time
+
     from ..context import tune_for_cluster
+
+    _timing = os.environ.get("UPXR_PHASE_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[upxr-phase] {phase}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
 
     tune_for_cluster()
     ds = _to_dataset(source)
-    schema = ds.schema()
     if hash_cols is None:
-        hash_cols = [schema.names[0]]
+        # schema() costs a full metadata pass + the first-op worker warmup —
+        # only pay it when the caller didn't name the tie-break columns
+        hash_cols = [ds.schema().names[0]]
+    _mark("schema")
 
     assign = make_assigner(
         ds, partition_by, hash_cols, target_rows_per_partition, num_partitions
     )
+    _mark("assign_plan")
     if assign.total_rows == 0:
         # reference semantic: refuse empty export (parquet_writer.py:10-11)
         raise ValueError("No data to write")
@@ -203,7 +219,7 @@ def encode_dataset(
     elif shuffle == "exchange":
         import shutil
 
-        from ..stages.exchange import ExchangeEncoder, SpillPartitions
+        from ..stages.exchange import SpillPartitions
 
         # exchange chunks are transient shuffle traffic. Single node: prefer
         # memory-backed /dev/shm (stand-in for the object store). Multi-node:
@@ -239,6 +255,7 @@ def encode_dataset(
         # files named here (commit-by-ack): orphan chunks from failed task
         # attempts are never read, so retries can't duplicate or drop rows.
         ack_df = acks.to_pandas()
+        _mark("spill")
         if len(ack_df):
             grouped = ack_df.groupby("pid", sort=True)
             pid_files = grouped["file"].apply(sorted).to_dict()
@@ -248,15 +265,15 @@ def encode_dataset(
         else:
             pids = []
         if pids:
-            # LPT bin-packing: partitions are grouped into byte-balanced
-            # tasks (largest-first onto the least-loaded bin) so one wave of
-            # workers finishes together — per-pid tasks pay dispatch
-            # overhead and ragged waves leave stragglers.
+            # LPT bin-packing into pool×6 byte-balanced bins: fine enough
+            # that Ray's scheduler work-steals around stragglers, coarse
+            # enough that per-task dispatch stays negligible. The bins run
+            # as plain TASKS on the worker processes the spill stage already
+            # warmed — an actor pool would pay process spawn + imports per
+            # actor (~100 worker-seconds at 32 CPUs, measured).
             sizes = [int(pid_bytes[p]) for p in pids]
-            # pool×3 bins: byte-balanced AND small enough that the pool can
-            # work-steal around stragglers (a single wave has no slack)
             order = sorted(range(len(pids)), key=lambda i: -sizes[i])
-            n_bins = max(1, min(pool * 3, len(pids)))
+            n_bins = max(1, min(pool * 6, len(pids)))
             bins: list[list[str]] = [[] for _ in range(n_bins)]
             loads = [0] * n_bins
             for i in order:
@@ -272,19 +289,23 @@ def encode_dataset(
                 for b in bins
                 if b
             ]
+            import functools
+            import json as _json
+
+            from ..stages.exchange import exchange_encode_task
+
+            encode_fn = functools.partial(
+                exchange_encode_task,
+                out_dir=out_dir,
+                exchange_dir=exchange_dir,
+                lineage_json=_json.dumps(full_lineage, sort_keys=True),
+            )
             pid_ds = ray.data.from_items(items, override_num_blocks=len(items))
             manifest = pid_ds.map_batches(
-                ExchangeEncoder,
-                fn_constructor_kwargs={
-                    "out_dir": out_dir,
-                    "exchange_dir": exchange_dir,
-                    "lineage": full_lineage,
-                },
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=min(pool, len(items)),
+                encode_fn, batch_format="pyarrow", batch_size=None
             )
             manifest.to_pandas()
+            _mark("encode_wave")
         shutil.rmtree(exchange_dir, ignore_errors=True)
     else:
         raise ValueError(f"unknown shuffle mode {shuffle!r}")

@@ -33,8 +33,41 @@ def _result_to_table(res: Any) -> pa.Table:
         return res
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
-    # ray.data.Dataset
+    # ray.data.Dataset — registry results are small by construction; big
+    # exports never come through here (see _write_result: a Dataset above
+    # the row threshold streams via write_parquet instead)
     return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+# above this row count a Dataset result is streamed to a parquet DIRECTORY
+# by the workers (ds.write_parquet) instead of being driver-materialized
+STREAM_THRESHOLD_ROWS = 5_000_000
+
+
+def _write_result(res: Any, path: str) -> tuple[int, int, str]:
+    """Write one query result; returns (rows, bytes, written_path).
+
+    Datasets larger than ``STREAM_THRESHOLD_ROWS`` stream straight from the
+    workers into a partitioned parquet directory — the driver only sees
+    counts. Small results take the atomic single-file path."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.materialize()  # object-store blocks (spillable), not driver
+        n = res.count()
+        if n > STREAM_THRESHOLD_ROWS:
+            out_dir = path[: -len(".parquet")]
+            res.write_parquet(out_dir)
+            size = sum(
+                os.path.getsize(os.path.join(out_dir, f))
+                for f in os.listdir(out_dir)
+            )
+            return n, size, out_dir
+    table = _result_to_table(res)
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return table.num_rows, os.path.getsize(path), path
 
 
 def run_export(
@@ -55,16 +88,13 @@ def run_export(
         t0 = time.monotonic()
         path = os.path.join(run_dir, f"{name}.parquet")
         try:
-            table = _result_to_table(fn())
-            tmp = path + f".tmp{os.getpid()}"
-            pq.write_table(table, tmp)
-            os.replace(tmp, path)
+            n_rows, n_bytes, _ = _write_result(fn(), path)
             rows.append(
                 {
                     "query": name,
                     "status": "ok",
-                    "rows": table.num_rows,
-                    "file_bytes": os.path.getsize(path),
+                    "rows": n_rows,
+                    "file_bytes": n_bytes,
                     "wall_s": time.monotonic() - t0,
                     "error": "",
                 }

@@ -123,9 +123,9 @@ class SpillPartitions:
 
 
 class ExchangeEncoder(PartitionEncoder):
-    """Stage-2 actor: each input row is one partition (pid, raw key, acked
-    chunk-file list); reads exactly those chunks and encodes them as one
-    partition."""
+    """Stage-2 worker: each input row is one partition bundle (pids, raw
+    keys, acked chunk-file lists); reads exactly those chunks and encodes
+    each as one partition."""
 
     def __init__(self, out_dir: str, exchange_dir: str, lineage: dict | None = None):
         super().__init__(out_dir, lineage)
@@ -140,3 +140,26 @@ class ExchangeEncoder(PartitionEncoder):
                 data = pa.concat_tables(tables).combine_chunks()
                 outs.append(self.encode_partition(data, raw_pid))
         return pa.concat_tables(outs)
+
+
+# task-form encode wave: plain map_batches TASKS reuse the worker processes
+# already warmed by the spill stage (an actor pool pays ~1s+ per actor of
+# process spawn + imports — measurably 100+ worker-seconds at 32 CPUs), and
+# Ray's scheduler work-steals around stragglers at task granularity. The
+# encoder (with its per-column FSST cache) is cached per worker process.
+_ENCODER_CACHE: dict = {}
+
+
+def exchange_encode_task(
+    batch, *, out_dir: str, exchange_dir: str, lineage_json: str
+) -> pa.Table:
+    import json
+
+    key = (out_dir, exchange_dir, lineage_json)
+    enc = _ENCODER_CACHE.get(key)
+    if enc is None:
+        _ENCODER_CACHE.clear()  # one live job per worker; drop stale caches
+        enc = _ENCODER_CACHE[key] = ExchangeEncoder(
+            out_dir, exchange_dir, json.loads(lineage_json)
+        )
+    return enc(batch)

@@ -60,4 +60,10 @@ def read_manifest(out_dir: str) -> pa.Table:
     files = sorted(glob.glob(os.path.join(manifest_path(out_dir), "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no manifest rows under {manifest_path(out_dir)}")
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    # one tiny file per partition: a sequential loop costs ~1 s fixed per
+    # thousand partitions on the driver — read with a thread pool instead
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        tables = list(ex.map(pq.read_table, files))
+    return pa.concat_tables(tables)

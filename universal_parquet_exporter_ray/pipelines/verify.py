@@ -2,8 +2,9 @@
 bit-identical to the source (north rule / input_hint: per-row ``sha256``
 equality on the content column + per-column multiset fingerprints).
 
-Both sides stream: the decoded side is
-``read_parquet(parts) → groupby(partition_id) → map_groups(PartitionDecoder)``,
+Both sides stream: the decoded side is one decode task per partition file
+(partition atomicity is a property of the ``parts/<pid>/data.parquet``
+layout, so no shuffle is needed to regroup blob rows),
 the source side re-runs the SAME deterministic partition assignment recorded
 in the manifest lineage. Each side reduces to one tiny fingerprint row per
 (partition, column): multiset SUM (mod 2^64) of per-row hashes — order-
@@ -25,7 +26,7 @@ import ray.data
 
 from ..stages.encoder import PART_COL, PartitionDecoder
 from ..state.manifest import read_manifest, sanitize_partition_id
-from .encode import default_pool_size, make_assigner, read_encoded
+from .encode import make_assigner
 
 MASK64 = (1 << 64) - 1
 
@@ -106,24 +107,50 @@ def decoded_dataset(
 ) -> "ray.data.Dataset":
     """Stream-decode the encoded output back into row form.
 
+    The encoded layout is one ``parts/<pid>/data.parquet`` file per
+    partition, so partition atomicity is a FILE property — no shuffle is
+    needed to regroup blob rows. One decode task per partition file (the
+    file list is tiny metadata, one path per partition, same cardinality
+    the manifest reader already handles driver-side).
+
     ``columns``: decode only these columns — the encoded layout stores one
     blob row per column, so projection pushdown skips the other columns'
-    payload bytes entirely (the columnar-format payoff)."""
-    ds = read_encoded(out_dir)
-    if columns is not None:
-        wanted = set(columns)
+    payload bytes entirely (the columnar-format payoff): the pruned rows'
+    ``payload`` bytes are never materialized thanks to parquet row filtering
+    at the read."""
+    import glob
+    import os
 
-        def prune(t):
-            import pyarrow as pa
-            import pyarrow.compute as pc
+    from ..state.manifest import parts_path
 
-            mask = pa.array([c in wanted for c in t["column"].to_pylist()])
-            return t.filter(mask)
+    files = sorted(glob.glob(os.path.join(parts_path(out_dir), "*", "data.parquet")))
+    wanted = set(columns) if columns is not None else None
 
-        ds = ds.map_batches(prune, batch_format="pyarrow")
-    return ds.groupby("partition_id").map_groups(
-        PartitionDecoder, batch_format="pyarrow", concurrency=default_pool_size()
-    )
+    def decode_files(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        decoder = PartitionDecoder()
+        outs = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            if wanted is not None:
+                mask = pa.array([c in wanted for c in t["column"].to_pylist()])
+                t = t.filter(mask)
+            if t.num_rows:
+                outs.append(decoder(t))
+        if not outs:
+            raise ValueError(
+                "decoded_dataset: none of the requested columns exist in "
+                f"the encoded partitions of this batch ({columns!r})"
+            )
+        return pa.concat_tables(outs, promote_options="default")
+
+    import pyarrow as pa  # noqa: F811 (closure type hints)
+
+    return ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=max(1, len(files))
+    ).map_batches(decode_files, batch_format="pyarrow", batch_size=None)
 
 
 def compression_report(out_dir: str) -> pd.DataFrame:

@@ -14,7 +14,6 @@ Deterministic: fixed seed for the permutation constants; no wall clock.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -127,28 +126,6 @@ class MinHashBandStage:
         )
 
 
-# per-worker-process stage caches: Ray 2.49's hash-shuffle join deadlocks
-# when its input operator is an actor pool, so stages that FEED a join run
-# as plain tasks with init-once state cached at worker-process level
-_WORKER_STAGES: dict = {}
-
-
-def band_stage_fn(df: pd.DataFrame) -> pd.DataFrame:
-    """Task-form MinHashBandStage (permutation constants cached per worker
-    process — same init-once economics as an actor, join-safe)."""
-    st = _WORKER_STAGES.get("bands")
-    if st is None:
-        st = _WORKER_STAGES["bands"] = MinHashBandStage()
-    return st(df)
-
-
-def shingle_stage_fn(df: pd.DataFrame) -> pd.DataFrame:
-    st = _WORKER_STAGES.get("shingles")
-    if st is None:
-        st = _WORKER_STAGES["shingles"] = ShingleStage()
-    return st(df)
-
-
 class ShingleStage:
     """(doc_id, text) → (doc_id, sh, n_sh): the doc's distinct word-w-gram
     shingle hashes as a sorted list column, for the DISTRIBUTED Jaccard
@@ -202,13 +179,109 @@ def pair_jaccard_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def bucket_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket → candidate pairs (doc_a < doc_b)."""
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+_EMPTY_PAIRS = pd.DataFrame(
+    {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+)
+
+
+def add_bucket_part(df: pd.DataFrame, n_parts: int = 32) -> pd.DataFrame:
+    """Coarse partition key over LSH buckets: a pure function of the bucket
+    key (band, band_hash), so every bucket co-locates in exactly one of
+    ``n_parts`` groups. Grouping on this instead of the raw bucket key turns
+    ~|docs|×bands tiny map_groups calls (or a hash-join operator's actor
+    machinery) into ``n_parts`` vectorized pandas calls."""
+    df = df.copy()
+    df["bp"] = (
+        (df["band_hash"].to_numpy(np.uint64) >> np.uint64(3)).astype(np.int64)
+        + df["band"].to_numpy(np.int64)
+    ) % n_parts
+    return df
+
+
+def partition_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All candidate pairs of one coarse bucket-partition: filter to buckets
+    with ≥2 members (vectorized duplicated mask), then enumerate pairs only
+    in those collision buckets."""
+    dup = g[g.duplicated(["band", "band_hash"], keep=False)]
+    if dup.empty:
+        return _EMPTY_PAIRS.copy()
+    out_a, out_b = [], []
+    for _, sub in dup.groupby(["band", "band_hash"], sort=False):
+        ids = np.unique(sub["doc_id"].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return _EMPTY_PAIRS.copy()
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+class PairShingleEmit:
+    """Distributed Jaccard-verify feeder: batch(doc_id, text) → one row per
+    (candidate pair, member doc) with the doc's shingle set as packed int64
+    bytes. The doc→pairs map is the BROADCAST small side (``ray.put`` once,
+    read per actor in ``__init__``) — candidate pairs are output-sized LSH
+    hits, never the corpus; texts/shingles stay on workers."""
+
+    def __init__(self, map_ref, w: int = 3, text_col: str = "text"):
+        import ray as _ray
+
+        self.d2p: dict[int, list] = _ray.get(map_ref)
+        self.w = w
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pair_ids: list[int] = []
+        roles: list[int] = []
+        doc_ids: list[int] = []
+        shs: list[bytes] = []
+        n_shs: list[int] = []
+        for doc_id, text in zip(df["doc_id"], df[self.text_col]):
+            hits = self.d2p.get(int(doc_id))
+            if not hits:
+                continue
+            sh = word_shingle_hashes(
+                text if isinstance(text, str) else "", self.w
+            ).view(np.int64)
+            blob = sh.tobytes()
+            for pid, role in hits:
+                pair_ids.append(pid)
+                roles.append(role)
+                doc_ids.append(int(doc_id))
+                shs.append(blob)
+                n_shs.append(len(sh))
+        return pd.DataFrame(
+            {
+                "pair_id": np.array(pair_ids, dtype=np.int64),
+                "role": np.array(roles, dtype=np.int64),
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "sh": pd.Series(shs, dtype=object),
+                "n_sh": np.array(n_shs, dtype=np.int64),
+            }
+        )
+
+
+def pair_group_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+    """One candidate pair's two shingle rows → exact integer (inter, union)."""
+    a = g[g["role"] == 0].iloc[0]
+    b = g[g["role"] == 1].iloc[0]
+    inter = np.intersect1d(
+        np.frombuffer(a["sh"], dtype=np.int64),
+        np.frombuffer(b["sh"], dtype=np.int64),
+        assume_unique=True,
+    ).size
+    return pd.DataFrame(
+        {
+            "doc_a": np.array([a["doc_id"]], dtype=np.int64),
+            "doc_b": np.array([b["doc_id"]], dtype=np.int64),
+            "inter": np.array([inter], dtype=np.int64),
+            "union": np.array([int(a["n_sh"] + b["n_sh"] - inter)], dtype=np.int64),
+        }
+    )
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

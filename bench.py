@@ -59,6 +59,13 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray's sort shuffle emits schema-less EMPTY blocks whenever
+    # min_parallelism exceeds the group count; the resulting RefBundle
+    # schema warnings are internal noise (every UDF here returns typed
+    # frames), so keep the bench log to one JSON line + real errors
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     src = _gen_fixture()
     input_bytes = os.path.getsize(src)
@@ -158,6 +165,13 @@ def run_encode_only() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray's sort shuffle emits schema-less EMPTY blocks whenever
+    # min_parallelism exceeds the group count; the resulting RefBundle
+    # schema warnings are internal noise (every UDF here returns typed
+    # frames), so keep the bench log to one JSON line + real errors
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     src = _gen_scaling_fixture()
     # warm the page cache (untimed) so both parallelism levels measure
     # compute + shuffle rather than the first cold disk read

@@ -347,11 +347,19 @@ def q_lang_id(sf_dir: str):
 # ----------------------------------------------------------------------
 
 
-def _fetch_queries(ds, n_queries: int):
-    """Pull the (tiny, id-bounded) query rows to the driver and normalize —
-    the query set is k×dim floats, never corpus-sized."""
+def _fetch_queries(sf_dir: str, n_queries: int):
+    """Query rows via parquet predicate pushdown (row-group prune + exact
+    filter on vec_id) — a tiny driver-side read of n_queries×dim floats,
+    never a corpus scan (the previous form ran a full Dataset pass to find
+    10 rows)."""
+    import pyarrow.parquet as pq
+
     qdf = (
-        ds.map_batches(lambda df: df[df["vec_id"] < n_queries], batch_format="pandas")
+        pq.read_table(
+            table_path(sf_dir, "embeddings"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_queries)],
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -395,7 +403,7 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
     one matmul per batch, batch-local top-k → per-query merge. Exact, so the
     SQL twin (integer-scaled cosines, vec_id tie-break) is a real oracle."""
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qids, qmat = _fetch_queries(ds, n_queries)
+    qids, qmat = _fetch_queries(sf_dir, n_queries)
     qref = ray.put((qids, qmat))
     cands = ds.map_batches(
         BatchTopKCosine,
@@ -465,7 +473,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int
     fit_df = ds.limit(65536).to_pandas()  # bounded k-means fit sample
     mat = _normalize(np.stack(fit_df["embedding"].to_numpy()).astype(np.float64))
     centroids = kmeans_fit(mat, n_clusters)
-    qids, qmat = _fetch_queries(ds, n_queries)
+    qids, qmat = _fetch_queries(sf_dir, n_queries)
     qref = ray.put((qids, qmat))
     cref = ray.put(centroids)
     cands = ds.map_batches(

@@ -105,6 +105,64 @@ def test_shingle_stage_and_pair_jaccard():
     assert out["inter"].iloc[0] / out["union"].iloc[0] == pytest.approx(jac)
 
 
+def test_bucket_partition_colocates_and_enumerates_pairs():
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        add_bucket_part,
+        partition_to_pairs,
+    )
+
+    df = pd.DataFrame(
+        {
+            "band": np.array([0, 0, 3, 3, 7], dtype=np.int64),
+            "band_hash": np.array([11, 11, 99, 99, 5], dtype=np.uint64),
+            "doc_id": np.array([1, 2, 4, 3, 9], dtype=np.int64),
+        }
+    )
+    # bp is a pure function of the bucket key: identical whether computed on
+    # the whole frame or on arbitrary batch splits (the co-location property
+    # the groupby relies on)
+    full = add_bucket_part(df)
+    split = pd.concat(
+        [add_bucket_part(df.iloc[:2]), add_bucket_part(df.iloc[2:])],
+        ignore_index=True,
+    )
+    assert full["bp"].tolist() == split["bp"].tolist()
+    # pair enumeration: only collision buckets emit, always doc_a < doc_b
+    pairs = partition_to_pairs(full)
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert got == {(1, 2), (3, 4)}
+    # singleton-only partition → typed empty frame
+    empty = partition_to_pairs(full.iloc[[4]])
+    assert len(empty) == 0 and list(empty.columns) == ["doc_a", "doc_b"]
+
+
+def test_pair_shingle_emit_and_group_jaccard(ray_session):
+    import ray
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        PairShingleEmit,
+        jaccard_from_sets,
+        pair_group_jaccard,
+        word_shingle_hashes,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "completely different text with other words entirely here now"
+    ref = ray.put({1: [(0, 0)], 2: [(0, 1)]})
+    out = PairShingleEmit(map_ref=ref)(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    )
+    # doc 3 is not a candidate → only the pair's two rows are emitted
+    assert len(out) == 2 and set(out["pair_id"]) == {0}
+    g = pair_group_jaccard(out)
+    jac = jaccard_from_sets(word_shingle_hashes(a), word_shingle_hashes(b))
+    assert g["inter"].iloc[0] / g["union"].iloc[0] == pytest.approx(jac)
+    assert (g["doc_a"].iloc[0], g["doc_b"].iloc[0]) == (1, 2)
+
+
 def test_simhash_md5_parity_with_duckdb():
     """Engine token hash == DuckDB md5_number_upper — the oracle contract."""
     import duckdb

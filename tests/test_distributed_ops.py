@@ -163,6 +163,38 @@ def test_pair_shingle_emit_and_group_jaccard(ray_session):
     assert (g["doc_a"].iloc[0], g["doc_b"].iloc[0]) == (1, 2)
 
 
+def test_shingle_explode_and_posting_pairs():
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        ShingleExplode,
+        posting_list_pairs,
+        word_shingle_hashes,
+    )
+
+    a = "w1 w2 w3 w4 w5"
+    b = "w1 w2 w3 x y"
+    c = "p q r s t"
+    ex = ShingleExplode()(pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]}))
+    # one row per distinct shingle, n carried on every row
+    na, nb = len(word_shingle_hashes(a)), len(word_shingle_hashes(b))
+    assert (ex[ex.doc_id == 1]["n"] == na).all() and len(ex[ex.doc_id == 1]) == na
+    # sp is a pure function of sh: recomputing on a split gives identical sp
+    resplit = pd.concat(
+        [
+            ShingleExplode()(pd.DataFrame({"doc_id": [1], "text": [a]})),
+            ShingleExplode()(pd.DataFrame({"doc_id": [2, 3], "text": [b, c]})),
+        ],
+        ignore_index=True,
+    )
+    assert sorted(zip(ex["sh"], ex["sp"])) == sorted(zip(resplit["sh"], resplit["sp"]))
+    # docs 1 and 2 share exactly the shingle "w1 w2 w3"; doc 3 shares none
+    hits = posting_list_pairs(ex)
+    assert len(hits) == 1
+    r = hits.iloc[0]
+    assert (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"]) == (1, 2, na, nb)
+
+
 def test_simhash_md5_parity_with_duckdb():
     """Engine token hash == DuckDB md5_number_upper — the oracle contract."""
     import duckdb

@@ -178,6 +178,94 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+NGRAM_JACCARD_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(round(i * 1000000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jac_ppm
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE 3 * i >= ca.n + cb.n - i
+"""
+
+
+@q("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE_SQL)
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs word-3-gram Jaccard similarity join (J ≥ 1/3) via a
+    distributed shingle inverted index — the exact counterpart of
+    ``minhash_lsh_pairs`` (LSH at 16×4 bands recalls ~17% of pairs at
+    J = 0.33; this plan recalls all of them):
+
+    1. docs → one row per distinct shingle, carrying the doc's shingle
+       count ``n`` on every row (no doc→n broadcast needed later);
+    2. groupby(coarse shingle partition) → vectorized posting-list pair
+       emission (one row per shared shingle per pair), each hit stamped
+       with a coarse PAIR-partition key;
+    3. groupby(pair partition) → vectorized pandas count per pair == exact
+       intersection size → Jaccard and threshold per batch. (A Ray
+       multi-key aggregate here measured 221 s for ~1M groups at sf0.1;
+       the coarse-partition + pandas-count shape runs in ~3 s.)
+
+    Two sort shuffles, no joins, nothing corpus-sized on the driver."""
+    from ..stages.dedup import (
+        ShingleExplode,
+        pair_partition_jaccard,
+        posting_list_pairs,
+    )
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    exploded = docs.map_batches(
+        ShingleExplode, batch_format="pandas", concurrency=(1, 8)
+    )
+    pair_hits = exploded.groupby("sp").map_groups(
+        posting_list_pairs, batch_format="pandas"
+    )
+    inter = pair_hits.groupby("pp").map_groups(
+        pair_partition_jaccard, batch_format="pandas"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import scaled_int
+
+        union = df["union"].to_numpy(dtype=np.int64)
+        keep = 3 * df["inter"].to_numpy(dtype=np.int64) >= union
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(dtype=np.int64)[keep],
+                "jac_ppm": scaled_int(
+                    df["inter"].to_numpy(dtype=np.float64)[keep]
+                    * 1000000.0
+                    / union[keep].astype(np.float64),
+                    1.0,
+                ),
+            }
+        )
+
+    out = inter.map_batches(finish, batch_format="pandas").to_pandas()
+    if len(out) == 0 and list(out.columns) != ["doc_a", "doc_b", "jac_ppm"]:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 SIMHASH_ORACLE_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents

@@ -265,6 +265,134 @@ class PairShingleEmit:
         )
 
 
+class ShingleExplode:
+    """batch(doc_id, text) → one row per DISTINCT word-w-gram shingle:
+    (sp, sh, doc_id, n) where ``sp`` is a coarse partition of the shingle
+    hash (same co-location trick as ``add_bucket_part``) and ``n`` is the
+    doc's total distinct-shingle count, carried on every row so the
+    downstream pair aggregation can compute Jaccard without a second pass
+    or a corpus-sized doc→n broadcast."""
+
+    def __init__(self, w: int = 3, n_parts: int = 64, text_col: str = "text"):
+        self.w = w
+        self.n_parts = n_parts
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        shs = [
+            word_shingle_hashes(t if isinstance(t, str) else "", self.w)
+            for t in df[self.text_col]
+        ]
+        sizes = np.array([len(s) for s in shs], dtype=np.int64)
+        if sizes.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "sp": pd.Series([], dtype="int64"),
+                    "sh": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        sh = np.concatenate(shs)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), sizes)
+        return pd.DataFrame(
+            {
+                "sp": ((sh >> np.uint64(7)) % np.uint64(self.n_parts)).astype(
+                    np.int64
+                ),
+                "sh": sh.view(np.int64),
+                "doc_id": doc_ids,
+                "n": np.repeat(sizes, sizes),
+            }
+        )
+
+
+_EMPTY_POSTING_PAIRS = pd.DataFrame(
+    {
+        c: pd.Series([], dtype="int64")
+        for c in ("pp", "doc_a", "doc_b", "n_a", "n_b")
+    }
+)
+
+
+def posting_list_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse shingle-partition → (doc_a, doc_b, n_a, n_b) rows, one per
+    (shared shingle, doc pair). Counting these rows per pair downstream
+    yields the EXACT intersection size (shingles are distinct per doc).
+
+    Scale note: a stop-shingle with document frequency m emits m²/2 pairs —
+    at corpus scale apply prefix filtering (emit only each doc's rarest
+    shingles, exactness-preserving for a fixed threshold) before this
+    stage; exhaustive here because the oracle does the same all-pairs
+    intersection."""
+    dup = g[g.duplicated("sh", keep=False)]
+    if dup.empty:
+        return _EMPTY_POSTING_PAIRS.copy()
+    dup = dup.sort_values(["sh", "doc_id"], kind="stable")
+    sh = dup["sh"].to_numpy()
+    ids = dup["doc_id"].to_numpy(dtype=np.int64)
+    ns = dup["n"].to_numpy(dtype=np.int64)
+    _, starts, counts = np.unique(sh, return_index=True, return_counts=True)
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        tri = triu_cache.get(c)
+        if tri is None:
+            tri = triu_cache[c] = np.triu_indices(c, k=1)
+        ia, ib = tri
+        out_a.append(ids[s + ia])
+        out_b.append(ids[s + ib])
+        out_na.append(ns[s + ia])
+        out_nb.append(ns[s + ib])
+    if not out_a:
+        return _EMPTY_POSTING_PAIRS.copy()
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # coarse pair-partition key (pure function of the pair): all hits of one
+    # pair co-locate under ONE groupby(pp), where a vectorized pandas
+    # count replaces a Ray multi-key aggregate — measured 221 s for ~1M
+    # groups at sf0.1 vs ~3 s for this shape
+    pp = (
+        (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+    ) % np.uint64(_PAIR_PARTS)
+    return pd.DataFrame(
+        {
+            "pp": pp.astype(np.int64),
+            "doc_a": a,
+            "doc_b": b,
+            "n_a": np.concatenate(out_na),
+            "n_b": np.concatenate(out_nb),
+        }
+    )
+
+
+_PAIR_PARTS = 64
+
+
+def pair_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+    """One pair-partition of posting hits → exact (doc_a, doc_b, inter,
+    union) per pair (hit count == intersection size; n_a/n_b ride along)."""
+    grp = (
+        g.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)
+        .size()
+        .reset_index(name="inter")
+    )
+    return pd.DataFrame(
+        {
+            "doc_a": grp["doc_a"].to_numpy(dtype=np.int64),
+            "doc_b": grp["doc_b"].to_numpy(dtype=np.int64),
+            "inter": grp["inter"].to_numpy(dtype=np.int64),
+            "union": (
+                grp["n_a"].to_numpy(dtype=np.int64)
+                + grp["n_b"].to_numpy(dtype=np.int64)
+                - grp["inter"].to_numpy(dtype=np.int64)
+            ),
+        }
+    )
+
+
 def pair_group_jaccard(g: pd.DataFrame) -> pd.DataFrame:
     """One candidate pair's two shingle rows → exact integer (inter, union)."""
     a = g[g["role"] == 0].iloc[0]

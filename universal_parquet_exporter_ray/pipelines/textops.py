@@ -548,13 +548,13 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-@q("ann_ivf_topk")
-def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16):
-    """IVF-bucketed approximate top-k (the scale path for ann_topk): a
-    deterministic k-means coarse quantizer fit on a BOUNDED sample
-    (``ds.limit(65536)`` — never the full corpus), centroids broadcast; each
-    batch scores only vectors in a query's nprobe nearest buckets.
-    Approximate → rows-only check (the exact twin ``ann_topk`` is oracled)."""
+def _ivf_topk(
+    sf_dir: str, k: int, n_queries: int, n_clusters: int, nprobe: int
+):
+    """Shared IVF plan: deterministic k-means coarse quantizer fit on a
+    BOUNDED sample (``ds.limit(65536)`` — never the full corpus), centroids
+    broadcast; each batch scores only vectors in a query's ``nprobe``
+    nearest buckets."""
     from ..stages.ann import IvfTopKCosine, kmeans_fit
 
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -566,12 +566,37 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int
     cref = ray.put(centroids)
     cands = ds.map_batches(
         IvfTopKCosine,
-        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": cref, "k": k},
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "centroids_ref": cref,
+            "k": k,
+            "nprobe": nprobe,
+        },
         batch_format="pandas",
         concurrency=4,
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
     return _ppm_topk(out, k)
+
+
+@q("ann_ivf_topk")
+def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16):
+    """IVF-bucketed approximate top-k (the scale path for ann_topk).
+    Approximate → rows-only check; the machinery's exactness is oracled by
+    ``ann_ivf_fullprobe`` and recall by pytest."""
+    return _ivf_topk(sf_dir, k, n_queries, n_clusters, nprobe=4)
+
+
+@q("ann_ivf_fullprobe", ANN_TOPK_ORACLE_SQL)
+def q_ann_ivf_fullprobe(
+    sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16
+):
+    """Conformance twin for the IVF machinery: probing ALL buckets makes the
+    IVF path exhaustive, so the brute-force SQL oracle applies exactly —
+    proving the bucket-assign / probe-mask / candidate-merge plumbing loses
+    nothing. The approximate default (``ann_ivf_topk``, nprobe=4) stays
+    rows-only by design."""
+    return _ivf_topk(sf_dir, k, n_queries, n_clusters, nprobe=n_clusters)
 
 
 # ----------------------------------------------------------------------

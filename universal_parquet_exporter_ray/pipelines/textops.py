@@ -430,6 +430,88 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 4))
 
 
+HASH_SPLIT_ORACLE_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split
+FROM (SELECT doc_id,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS b
+      FROM documents)
+"""
+
+
+@q("hash_split", HASH_SPLIT_ORACLE_SQL)
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by content-independent
+    key hash — the standard leakage-safe dataset split at corpus scale
+    (pure per-row map, no shuffle, stable across reruns/resume). Token hash
+    is md5-low64 so DuckDB ``md5_number_upper`` is an exact oracle (the
+    same cross-engine contract SimHashStage uses)."""
+    import hashlib as _hl
+
+    ds = load_table(sf_dir, "documents", ["doc_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.md5(str(i).encode("ascii")).digest()[:8], "little"
+                )
+                % 100
+                for i in df["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        split = np.where(
+            buckets < 80, "train", np.where(buckets < 90, "val", "test")
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+CURATE_ORACLE_SQL = """
+SELECT min(doc_id) AS doc_id
+FROM documents
+WHERE lang = 'en'
+  AND len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 1000
+  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 4
+      >= length(text) * 3
+GROUP BY text
+"""
+
+
+@q("curate_corpus", CURATE_ORACLE_SQL)
+def q_curate_corpus(sf_dir: str):
+    """End-to-end corpus curation composition — the canonical training-data
+    shape: language filter + token-length bounds + alpha-ratio quality gate
+    (all one fused vectorized map stage) → exact dedup keeping the first
+    copy (sha groupby; only 64-hex hashes shuffle). One shuffle total."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"] == "en"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="object"),
+                }
+            )
+        n_tok = df["text"].str.count(r"\S+")
+        n_alpha = df["text"].str.count(r"[A-Za-z]")
+        keep = (
+            n_tok.between(10, 1000) & (n_alpha * 4 >= df["text"].str.len() * 3)
+        )
+        df = df[keep]
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": content_sha(df)})
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+    out = gated.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------

@@ -195,6 +195,34 @@ def test_shingle_explode_and_posting_pairs():
     assert (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"]) == (1, 2, na, nb)
 
 
+def test_asof_prev_group_matches_latest_prior():
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.joins import asof_prev_group
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:00:00",  # click
+            "2024-01-01 10:00:05",  # click (latest prior for first purchase)
+            "2024-01-01 10:00:05",  # purchase -> equal-ts click counts, gap 0
+            "2024-01-01 11:00:00",  # purchase -> gap vs 10:00:05
+            "2024-01-01 09:00:00",  # purchase BEFORE any click -> -1
+        ]
+    )
+    g = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": ts,
+            "event_type": ["click", "click", "purchase", "purchase", "purchase"],
+        }
+    )
+    out = asof_prev_group("ts", "event_type", "purchase", "click", "event_id")(g)
+    gaps = dict(zip(out["event_id"], out["gap_us"]))
+    assert gaps[2] == 0
+    assert gaps[3] == 3_595_000_000  # 59 min 55 s in micros
+    assert gaps[4] == -1
+
+
 def test_simhash_md5_parity_with_duckdb():
     """Engine token hash == DuckDB md5_number_upper — the oracle contract."""
     import duckdb

@@ -661,6 +661,32 @@ def q_sessionization(sf_dir: str):
 
 
 @q(
+    "asof_join",
+    "WITH l AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+    "SELECT l.event_id, coalesce(CAST(date_diff('microsecond', "
+    "(SELECT max(r.ts) FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts), "
+    "l.ts) AS BIGINT), -1) AS gap_us FROM l",
+)
+def q_asof_join(sf_dir: str):
+    """AS-OF join — an operator Ray Data lacks, built per the
+    custom-operator contract as groupby(key) + a sorted searchsorted merge
+    per group (``stages/joins.py::asof_prev_group``, which documents the
+    key-partitioning assumption): every purchase event matched to the
+    user's most recent click at-or-before it; microsecond gap, -1 when no
+    prior click exists. Oracle: deterministic correlated-max SQL (exact
+    equivalent of DuckDB's ASOF JOIN with an explicit tie rule)."""
+    from ..stages.joins import asof_prev_group
+
+    ds = load_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return ds.groupby("user_id").map_groups(
+        asof_prev_group("ts", "event_type", "purchase", "click", "event_id"),
+        batch_format="pandas",
+    )
+
+
+@q(
     "window_agg",
     "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
     "CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_dm FROM events GROUP BY 1, 2",

@@ -59,3 +59,49 @@ def broadcast_semi(
         return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def asof_prev_group(
+    time_col: str,
+    type_col: str,
+    left_type: str,
+    right_type: str,
+    id_col: str,
+    no_match: int = -1,
+):
+    """map_groups reducer for a key-partitioned AS-OF join: within one key
+    group, match every ``left_type`` row to the most recent ``right_type``
+    row with time ≤ its own (sort once per group + one vectorized
+    ``np.searchsorted`` merge; emits the microsecond gap, ``no_match`` when
+    no prior row exists).
+
+    Partitioning assumption (documented per the custom-operator contract):
+    the join key co-locates each entity's full history on one worker — the
+    standard distributed as-of form. When a single key's history exceeds a
+    worker, switch to time-range partitioning with one-row boundary
+    replication per range."""
+    import numpy as np
+    import pandas as pd
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(time_col, kind="stable")
+        ts = g[time_col].to_numpy("datetime64[us]").astype(np.int64)
+        et = g[type_col].to_numpy()
+        lmask = et == left_type
+        lids = g[id_col].to_numpy(np.int64)[lmask]
+        lts = ts[lmask]
+        rts = ts[et == right_type]
+        if len(lts) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        gap = np.where(
+            idx >= 0, lts - rts[np.clip(idx, 0, None)], np.int64(no_match)
+        )
+        return pd.DataFrame({id_col: lids, "gap_us": gap.astype(np.int64)})
+
+    return reduce

@@ -471,6 +471,122 @@ def q_hash_split(sf_dir: str):
     return ds.map_batches(tag, batch_format="pandas")
 
 
+STRATIFIED_ORACLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@q("stratified_sample", STRATIFIED_ORACLE_SQL)
+def q_stratified_sample(sf_dir: str, per_group: int = 20):
+    """Deterministic stratified sample: 20 docs per language, chosen by
+    md5-hash order (reproducible across runs/workers, unbiased by storage
+    order — the standard per-stratum sample for eval-set construction).
+    Per-batch partial top-m (combiner) → tiny groupby(lang) final top-m:
+    only ≤ m rows per (batch, lang) ever shuffle."""
+    import hashlib as _hl
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.md5(str(i).encode("ascii")).digest()[:8], "little"
+                )
+                for i in df["doc_id"]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        out = pd.DataFrame(
+            {"lang": df["lang"], "doc_id": df["doc_id"], "h": h.view(np.int64)}
+        )
+        return (
+            out.sort_values(["h", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(per_group)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        # int64 bit view of uint64 keeps EQUALITY through pandas, but not
+        # ORDER — compare in uint64 space
+        g = g.copy()
+        g["hu"] = g["h"].to_numpy().view(np.uint64)
+        g = g.sort_values(["hu", "doc_id"]).head(per_group)
+        return g[["lang", "doc_id"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+TOP_TERMS_ORACLE_SQL = """
+SELECT lang, tok, n FROM (
+  SELECT lang, tok, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok)
+           AS rn
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents)
+  GROUP BY lang, tok
+) WHERE rn <= 5
+"""
+
+
+@q("top_terms_by_lang", TOP_TERMS_ORACLE_SQL)
+def q_top_terms_by_lang(sf_dir: str, k: int = 5):
+    """Corpus vocabulary statistics: the 5 most frequent tokens per
+    language. Per-batch pandas value_counts is the COMBINER (one row per
+    distinct (lang, token) per batch — bounded by vocabulary, not corpus),
+    a coarse hash-partition groupby sums the partials vectorized, and a
+    tiny groupby(lang) takes the final top-k. No corpus-sized shuffle, no
+    high-cardinality Ray aggregate (see ngram_jaccard_pairs for why)."""
+    ds = load_table(sf_dir, "documents", ["text", "lang"])
+    P = 32
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+")
+        flat = pd.DataFrame(
+            {
+                "lang": df["lang"].repeat(toks.str.len()),
+                "tok": np.concatenate(toks.to_numpy()) if len(df) else [],
+            }
+        )
+        grp = flat.groupby(["lang", "tok"], sort=False).size().reset_index(name="n")
+        grp["tp"] = (
+            pd.util.hash_pandas_object(
+                grp["lang"] + "\x00" + grp["tok"], index=False
+            ).to_numpy(np.uint64)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return grp
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["lang", "tok"], sort=False)["n"].sum().reset_index()
+        )
+        # partial top-k per lang within this partition: a (lang, tok) pair
+        # lives in exactly one partition, so pruning to k here is lossless
+        return (
+            out.sort_values(["n", "tok"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+        return g[["lang", "tok", "n"]]
+
+    partials = ds.map_batches(partial_counts, batch_format="pandas")
+    summed = partials.groupby("tp").map_groups(sum_partials, batch_format="pandas")
+    return summed.groupby("lang").map_groups(final, batch_format="pandas")
+
+
 CURATE_ORACLE_SQL = """
 SELECT min(doc_id) AS doc_id
 FROM documents

@@ -562,6 +562,99 @@ def q_rank_global(sf_dir: str):
 
 
 @q(
+    "quantiles",
+    "WITH s AS (SELECT o_totalprice AS v, "
+    "row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders), "
+    "n AS (SELECT count(*) AS c FROM orders) "
+    "SELECT CAST(round(max(CASE WHEN rn <= (c-1)//4 + 1 THEN v END) * 100) AS BIGINT) AS p25_c, "
+    "CAST(round(max(CASE WHEN rn <= (c-1)//2 + 1 THEN v END) * 100) AS BIGINT) AS p50_c, "
+    "CAST(round(max(CASE WHEN rn <= ((c-1)*9)//10 + 1 THEN v END) * 100) AS BIGINT) AS p90_c, "
+    "CAST(round(max(CASE WHEN rn <= ((c-1)*99)//100 + 1 THEN v END) * 100) AS BIGINT) AS p99_c "
+    "FROM s, n",
+)
+def q_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p25/p50/p90/p99 of o_totalprice) via
+    order statistics on the distributed rank machinery: the k-th order
+    statistic equals max{v : rank_min(v) ≤ k}, so ranking (range-partition
+    + exact offsets, O(#ranges) driver state) followed by one partial-max
+    pass yields exact quantiles with no global sorted pull. k =
+    floor(q·(n-1)) + 1, matching the SQL row_number formulation."""
+    from ..stages.rank import distributed_rank
+
+    ds = load_table(sf_dir, "orders", ["o_totalprice"])
+    n = ds.count()
+    ks = {
+        "p25_c": (n - 1) // 4 + 1,
+        "p50_c": (n - 1) // 2 + 1,
+        "p90_c": (n - 1) * 9 // 10 + 1,
+        "p99_c": (n - 1) * 99 // 100 + 1,
+    }
+    ranked = distributed_rank(ds, "o_totalprice", "rn", descending=False)
+
+    def partial_max(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(dtype=np.float64)
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        row = {}
+        for name, k in ks.items():
+            sel = v[rn <= k]
+            row[name] = [sel.max() if len(sel) else -np.inf]
+        return pd.DataFrame(row)
+
+    partials = ranked.map_batches(partial_max, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {name: [int(scaled_int(partials[name].max(), 100.0))] for name in ks}
+    )
+
+
+@q(
+    "pivot_events",
+    "SELECT user_id, "
+    "CAST(round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0) * 10000) AS BIGINT) AS click_dm, "
+    "CAST(round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) * 10000) AS BIGINT) AS purchase_dm, "
+    "CAST(round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0) * 10000) AS BIGINT) AS view_dm, "
+    "count(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_pivot_events(sf_dir: str):
+    """Pivot (wide conditional aggregate): per-user sums of value by event
+    type as columns. The pivot is a per-batch vectorized projection to
+    indicator columns; the shuffle is then an ordinary numeric groupby-sum
+    (combiner-friendly — partial sums per batch would commute at scale)."""
+    ds = load_table(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"]})
+        v = df["value"].to_numpy(dtype=np.float64)
+        et = df["event_type"].to_numpy()
+        for t in ("click", "purchase", "view"):
+            out[f"v_{t}"] = np.where(et == t, v, 0.0)
+        return out
+
+    agg = (
+        ds.map_batches(indicators, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Sum("v_click", alias_name="s_click"),
+            Sum("v_purchase", alias_name="s_purchase"),
+            Sum("v_view", alias_name="s_view"),
+            Count(alias_name="n_events"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "click_dm": scaled_int(df["s_click"], 10000.0),
+                "purchase_dm": scaled_int(df["s_purchase"], 10000.0),
+                "view_dm": scaled_int(df["s_view"], 10000.0),
+                "n_events": df["n_events"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@q(
     "rank_partitioned",
     "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
     "SELECT o_orderpriority, o_orderkey, o_totalprice, "

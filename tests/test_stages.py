@@ -169,6 +169,35 @@ def test_media_decode_real_path_not_implemented():
         stage._decode(b"payload")
 
 
+def test_media_resize_and_frame_sample():
+    import hashlib
+
+    from universal_parquet_exporter_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaResizeStage,
+    )
+
+    long = "x" * 300
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [long, "tiny"]})
+    media = to_media_table(df, "doc_id", "text", "image")
+    out = MediaResizeStage(target_bytes=256)(media)
+    assert out["n_bytes_out"].to_pylist() == [256, 4]
+    assert (
+        out["resized_sha"].to_pylist()[0]
+        == hashlib.sha256(long[:256].encode()).hexdigest()
+    )
+    # frame sampling: 300 bytes // 64 = 4 full frames, every 4th -> idx 0 only;
+    # 4-byte payload has no full frame -> no rows
+    fs = FrameSampleStage(frame_bytes=64, every=4)(media)
+    assert fs["media_id"].to_pylist() == [1]
+    assert fs["frame_idx"].to_pylist() == [0]
+    assert fs["n_frames"].to_pylist() == [4]
+    with pytest.raises(NotImplementedError):
+        MediaResizeStage(fake=False)._resize(b"p")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)._frames(b"p")
+
+
 # ---- exchange spill ----------------------------------------------------
 
 

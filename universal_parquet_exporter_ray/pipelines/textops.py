@@ -851,6 +851,63 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(widen, batch_format="pandas")
 
 
+@q(
+    "media_resize",
+    "SELECT doc_id AS media_id, strlen(text) AS n_bytes_in, "
+    "least(strlen(text), 256) AS n_bytes_out, "
+    "sha256(left(text, 256)) AS resized_sha FROM documents",
+)
+def q_media_resize(sf_dir: str):
+    """Multimodal resize plumbing: binary payloads through an actor-pool
+    resize stage (deterministic prefix-truncate fake standing in for a real
+    decoder+resampler — sha of the resized payload gives an exact SQL
+    twin). Small batches for wide binary rows."""
+    from ..stages.multimodal import MediaResizeStage
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(
+        lambda df: to_media_table(df, "doc_id", "text", "image"),
+        batch_format="pandas",
+    )
+    out = media.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+    return out.drop_columns(["payload"])
+
+
+@q(
+    "media_frame_sample",
+    "WITH f AS (SELECT doc_id, strlen(text) // 64 AS n_frames, text "
+    "FROM documents) "
+    "SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx, "
+    "sha256(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha, "
+    "n_frames FROM f, unnest(range(0, n_frames, 4)) AS t(i)",
+)
+def q_media_frame_sample(sf_dir: str):
+    """Multimodal frame sampling (video stand-in): every 4th 64-byte frame
+    of each payload emitted as its own row — the row-expanding flat_map
+    shape of frame extraction at scale, via an actor-pool stage with small
+    batches. Byte-slicing fake ⇒ exact SQL twin on ASCII payloads."""
+    from ..stages.multimodal import FrameSampleStage
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(
+        lambda df: to_media_table(df, "doc_id", "text", "video"),
+        batch_format="pandas",
+    )
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 # ----------------------------------------------------------------------
 # the codec engine as a query (north-rule invariant with a SQL oracle)
 # ----------------------------------------------------------------------

@@ -86,3 +86,88 @@ class MediaDecodeStage:
                 "feature": pa.array(feats, type=pa.list_(pa.float64())),
             }
         )
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage. A real deployment decodes, resamples and
+    re-encodes in ``_resize``; the deterministic fake (prefix-truncate to
+    ``target_bytes``) keeps the plumbing — binary in/out, per-row byte
+    budget, small batches — exercised with an exact SQL twin. Emits the
+    resized payload plus in/out sizes and the resized payload's sha256."""
+
+    def __init__(self, target_bytes: int = 256, fake: bool = True):
+        self.target = int(target_bytes)
+        self.fake = fake
+
+    def _resize(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "media resizing requires an image library not present in "
+                "this environment; run with fake=True for the plumbing"
+            )
+        return payload[: self.target]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [
+            self._resize(p if p is not None else b"")
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes_in": batch["n_bytes"],
+                "n_bytes_out": pa.array(
+                    [len(r) for r in resized], type=pa.int64()
+                ),
+                "payload": pa.array(resized, type=pa.large_binary()),
+                "resized_sha": pa.array(
+                    [hashlib.sha256(r).hexdigest() for r in resized]
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage (video stand-in): the payload is
+    treated as ``frame_bytes``-sized frames; every ``every``-th FULL frame
+    is emitted as its own row (row-expanding map over binary payloads —
+    the flat_map shape frame extraction has at scale). Fake = byte
+    slicing; a real deployment plugs a demuxer into ``_frames``."""
+
+    def __init__(self, frame_bytes: int = 64, every: int = 4, fake: bool = True):
+        self.F = int(frame_bytes)
+        self.every = int(every)
+        self.fake = fake
+
+    def _frames(self, payload: bytes) -> list[tuple[int, bytes]]:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame extraction requires a video library not present in "
+                "this environment; run with fake=True for the plumbing"
+            )
+        n_frames = len(payload) // self.F
+        return [
+            (i, payload[i * self.F : (i + 1) * self.F])
+            for i in range(0, n_frames, self.every)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, shas, totals = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload if payload is not None else b""
+            n_frames = len(payload) // self.F
+            for i, frame in self._frames(payload):
+                ids.append(mid)
+                idxs.append(i)
+                shas.append(hashlib.sha256(frame).hexdigest())
+                totals.append(n_frames)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "frame_sha": pa.array(shas, type=pa.string()),
+                "n_frames": pa.array(totals, type=pa.int64()),
+            }
+        )

@@ -851,6 +851,67 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(widen, batch_format="pandas")
 
 
+LANG_CENTROIDS_ORACLE_SQL = """
+SELECT d.lang, CAST(r.i AS BIGINT) AS dim,
+       CAST(round(avg(e.embedding[r.i + 1]) * 1000000.0) AS BIGINT)
+         AS mean_ppm
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id, range(64) r(i)
+GROUP BY 1, 2
+"""
+
+
+@q("lang_centroids", LANG_CENTROIDS_ORACLE_SQL)
+def q_lang_centroids(sf_dir: str):
+    """Grouped vector centroids: the mean embedding per language — the
+    class-centroid aggregate of embedding-based curation. Combiner-first:
+    each batch reduces to one (n_langs × dim) partial sum matrix + counts,
+    so only vocabulary-sized partials shuffle, never vectors. The
+    doc_id→lang side is broadcast here (tiny at test scale); at corpus
+    scale both tables hash-bucket by doc_id through the exchange tier and
+    the same partial-sum stage runs per bucket."""
+    docs = load_table(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    lang_of = dict(zip(docs["doc_id"], docs["lang"]))
+    lref = ray.put(lang_of)
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo = ray.get(lref)
+        langs = np.array([lo.get(int(v), "?") for v in df["vec_id"]])
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rows = []
+        for lang in np.unique(langs):
+            sel = mat[langs == lang]
+            rows.append(
+                {
+                    "lang": lang,
+                    "n": np.int64(len(sel)),
+                    "sums": sel.sum(axis=0).tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for lang, grp in partials.groupby("lang"):
+        total = np.zeros(64, dtype=np.float64)
+        for b in grp["sums"]:
+            total += np.frombuffer(b, dtype=np.float64)
+        mean = total / grp["n"].sum()
+        from .relational import scaled_int
+
+        out.append(
+            pd.DataFrame(
+                {
+                    "lang": lang,
+                    "dim": np.arange(64, dtype=np.int64),
+                    "mean_ppm": scaled_int(mean, 1e6),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 @q(
     "media_resize",
     "SELECT doc_id AS media_id, strlen(text) AS n_bytes_in, "

@@ -655,6 +655,35 @@ def q_pivot_events(sf_dir: str):
 
 
 @q(
+    "json_extract_agg",
+    "SELECT event_type, "
+    "CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(max(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k, "
+    "count(*) AS n FROM events GROUP BY event_type",
+)
+def q_json_extract_agg(sf_dir: str):
+    """Semi-structured column handling: extract a field from a JSON string
+    column with ONE vectorized regex pass per batch (compiled once at
+    module load — no per-row json.loads in the hot path), then an ordinary
+    grouped aggregate."""
+    ds = load_table(sf_dir, "events", ["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    return (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+@q(
     "rank_partitioned",
     "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
     "SELECT o_orderpriority, o_orderkey, o_totalprice, "

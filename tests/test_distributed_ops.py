@@ -289,3 +289,98 @@ def test_decimal_column_through_encode(ray_session, tmp_path):
     )
     df = decoded_dataset(out).to_pandas().sort_values("k").reset_index(drop=True)
     assert [str(x) for x in df["price"]] == [str(x) for x in t["price"].to_pylist()]
+
+
+# ---- property tests (hypothesis, pure helpers vs brute force) ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.sampled_from(["l", "r", "x"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_asof_prev_group_matches_bruteforce(events):
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.joins import asof_prev_group
+
+    ts = pd.to_datetime([e[0] for e in events], unit="us")
+    g = pd.DataFrame(
+        {
+            "event_id": np.arange(len(events), dtype=np.int64),
+            "ts": ts,
+            "event_type": [e[1] for e in events],
+        }
+    )
+    out = asof_prev_group("ts", "event_type", "l", "r", "event_id")(g)
+    got = dict(zip(out["event_id"], out["gap_us"]))
+    rts = sorted(t for t, (_, k) in zip([e[0] for e in events], events) if k == "r")
+    for eid, (t, kind) in enumerate(events):
+        if kind != "l":
+            assert eid not in got
+            continue
+        prior = [r for r in rts if r <= t]
+        expect = (t - max(prior)) if prior else -1
+        assert got[eid] == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=12
+    )
+)
+def test_posting_pair_counts_equal_exact_intersections(docs):
+    """pair-hit rows grouped per pair must count the EXACT shingle-set
+    intersection — the invariant the ngram_jaccard pipeline rests on."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        ShingleExplode,
+        posting_list_pairs,
+        word_shingle_hashes,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    ex = ShingleExplode()(df)
+    # run the pair stage per coarse partition exactly like the pipeline
+    hits = pd.concat(
+        [posting_list_pairs(g) for _, g in ex.groupby("sp")],
+        ignore_index=True,
+    )
+    counted = (
+        hits.groupby(["doc_a", "doc_b"]).size().to_dict() if len(hits) else {}
+    )
+    sets = [set(word_shingle_hashes(t).tolist()) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            assert counted.get((a, b), 0) == inter
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(0, 1e6, allow_nan=False, width=64), min_size=1, max_size=200
+    ),
+    qnum=st.sampled_from([25, 50, 90, 99]),
+)
+def test_order_statistic_via_rank_filter(vals, qnum):
+    """The quantiles query's selection rule: the k-th order statistic equals
+    max{v : rank_min(v) <= k}."""
+    import numpy as np
+
+    v = np.array(vals, dtype=np.float64)
+    n = len(v)
+    k = (n - 1) * qnum // 100 + 1
+    ranks = pd.Series(v).rank(method="min").to_numpy()
+    got = v[ranks <= k].max()
+    assert got == np.sort(v)[k - 1]

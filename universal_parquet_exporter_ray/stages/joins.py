@@ -98,10 +98,16 @@ def asof_prev_group(
                     "gap_us": pd.Series([], dtype="int64"),
                 }
             )
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        gap = np.where(
-            idx >= 0, lts - rts[np.clip(idx, 0, None)], np.int64(no_match)
-        )
+        if len(rts) == 0:
+            # np.where evaluates both branches eagerly; an empty right side
+            # would index into an empty array even though the mask is all
+            # False — short-circuit to the sentinel instead
+            gap = np.full(len(lts), np.int64(no_match))
+        else:
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            gap = np.where(
+                idx >= 0, lts - rts[np.clip(idx, 0, None)], np.int64(no_match)
+            )
         return pd.DataFrame({id_col: lids, "gap_us": gap.astype(np.int64)})
 
     return reduce

@@ -310,10 +310,15 @@ def run_scaling() -> dict:
     _gen_scaling_fixture()
     ray.shutdown()
 
-    results = {}
-    for ncpu in (n_lo, n_hi):
-        best = None
-        for _ in range(reps):
+    # INTERLEAVE the two levels (lo, hi, lo, hi, ...): external load on this
+    # VM arrives in multi-minute windows, so running all lo-reps then all
+    # hi-reps lets one window poison a single level and fake the ratio;
+    # alternating makes both levels sample the same windows, and best-of per
+    # level still discards the stolen reps (steal only ever adds time).
+    results: dict = {n_lo: None, n_hi: None}
+    all_secs: dict = {n_lo: [], n_hi: []}
+    for _ in range(reps):
+        for ncpu in (n_lo, n_hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only"],
@@ -323,9 +328,9 @@ def run_scaling() -> dict:
                 check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        results[ncpu] = best
+            all_secs[ncpu].append(r["sec"])
+            if results[ncpu] is None or r["sec"] < results[ncpu]["sec"]:
+                results[ncpu] = r
     thr_lo = results[n_lo]["throughput_MBps"]
     thr_hi = results[n_hi]["throughput_MBps"]
     ratio = n_hi / n_lo
@@ -339,6 +344,8 @@ def run_scaling() -> dict:
         f"sec_{n_lo}": results[n_lo]["sec"],
         f"sec_{n_hi}": results[n_hi]["sec"],
         "scaling_efficiency": round(eff, 3),
+        f"sec_all_{n_lo}": all_secs[n_lo],
+        f"sec_all_{n_hi}": all_secs[n_hi],
         "machine_ceiling_pure_c": _machine_scaling_ceiling(n_lo, n_hi),
         "compression_ratio": results[n_hi]["compression_ratio"],
         f"encode_worker_s_{n_lo}": results[n_lo].get("encode_worker_s"),

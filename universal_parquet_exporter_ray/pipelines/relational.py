@@ -809,6 +809,34 @@ def q_asof_join(sf_dir: str):
 
 
 @q(
+    "rolling_window",
+    "SELECT event_id, CAST(round(sum(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000) AS BIGINT) "
+    "AS roll3_dm FROM events",
+)
+def q_rolling_window(sf_dir: str):
+    """Rolling-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per-user 3-event moving sum over event time. groupby(key) co-
+    locates each entity's ordered history; the frame itself is a vectorized
+    pandas rolling over the sorted group — the ordered-frame counterpart of
+    the tumbling ``window_agg``."""
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        s = g["value"].rolling(3, min_periods=1).sum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "roll3_dm": scaled_int(s, 10000.0),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+@q(
     "window_agg",
     "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
     "CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_dm FROM events GROUP BY 1, 2",

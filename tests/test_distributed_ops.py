@@ -384,3 +384,24 @@ def test_order_statistic_via_rank_filter(vals, qnum):
     ranks = pd.Series(v).rank(method="min").to_numpy()
     got = v[ranks <= k].max()
     assert got == np.sort(v)[k - 1]
+
+
+def test_quantiles_query_matches_numpy(ray_session):
+    """Distributed exact-quantile query e2e vs numpy order statistics on
+    the real sf0.001 orders table."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["quantiles"](sf)
+    v = np.sort(
+        pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])
+        .to_pandas()["o_totalprice"]
+        .to_numpy()
+    )
+    n = len(v)
+    for name, qnum in [("p25_c", 25), ("p50_c", 50), ("p90_c", 90), ("p99_c", 99)]:
+        k = (n - 1) * qnum // 100 + 1
+        expect = int(np.floor(np.abs(v[k - 1] * 100) + 0.5) * np.sign(v[k - 1]))
+        assert int(out[name].iloc[0]) == expect

@@ -809,6 +809,36 @@ def q_asof_join(sf_dir: str):
 
 
 @q(
+    "lag_gap",
+    "SELECT event_id, coalesce(CAST(date_diff('microsecond', "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) "
+    "AS BIGINT), -1) AS prev_gap_us FROM events",
+)
+def q_lag_gap(sf_dir: str):
+    """LAG window function: microseconds since the user's previous event
+    (-1 for the first). groupby(key) + one vectorized diff over the sorted
+    group — the offset-window family member (LEAD is the same shape with
+    shift(-1))."""
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        if len(ts) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "prev_gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+@q(
     "rolling_window",
     "SELECT event_id, CAST(round(sum(value) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "

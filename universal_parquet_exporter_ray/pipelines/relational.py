@@ -562,6 +562,36 @@ def q_rank_global(sf_dir: str):
 
 
 @q(
+    "percent_rank",
+    "SELECT o_orderkey, CAST(round(percent_rank() OVER "
+    "(ORDER BY o_totalprice DESC) * 1000000) AS BIGINT) AS pr_ppm "
+    "FROM orders",
+)
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK window function — (rank-1)/(n-1) over the distributed
+    rank machinery (range-partition + exact offsets, O(#ranges) driver
+    state); ties share a rank exactly as SQL's RANK does."""
+    from ..stages.rank import distributed_rank
+
+    ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    ranked = distributed_rank(ds, "o_totalprice", "rnk", descending=True)
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+                "pr_ppm": scaled_int(
+                    (df["rnk"].to_numpy(dtype=np.float64) - 1.0) / max(1, n - 1),
+                    1e6,
+                ),
+            }
+        )
+
+    return ranked.map_batches(pr, batch_format="pandas")
+
+
+@q(
     "quantiles",
     "WITH s AS (SELECT o_totalprice AS v, "
     "row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders), "

@@ -506,12 +506,21 @@ def q_stratified_sample(sf_dir: str, per_group: int = 20):
             count=len(df),
         )
         out = pd.DataFrame(
-            {"lang": df["lang"], "doc_id": df["doc_id"], "h": h.view(np.int64)}
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"],
+                # int64 bit view survives pandas/Arrow round-trips; the
+                # unsigned copy exists only to ORDER the prune correctly
+                # (hashes >= 2^63 must sort LAST, not first as negatives).
+                "h": h.view(np.int64),
+                "hu": h,
+            }
         )
         return (
-            out.sort_values(["h", "doc_id"])
+            out.sort_values(["hu", "doc_id"])
             .groupby("lang", sort=False)
             .head(per_group)
+            .drop(columns=["hu"])
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -405,3 +405,82 @@ def test_quantiles_query_matches_numpy(ray_session):
         k = (n - 1) * qnum // 100 + 1
         expect = int(np.floor(np.abs(v[k - 1] * 100) + 0.5) * np.sign(v[k - 1]))
         assert int(out[name].iloc[0]) == expect
+
+
+def _prefix_pipeline_sim(df):
+    """Run the prefix-filtered candidate stages exactly like the pipeline:
+    explode → per-sp df stamp → per-dp prefix select → per-sp pair emit."""
+    from universal_parquet_exporter_ray.stages.dedup import (
+        ShingleExplode,
+        df_stamp_route,
+        prefix_posting_pairs,
+        prefix_select,
+    )
+
+    ex = ShingleExplode()(df)
+    routed = pd.concat(
+        [df_stamp_route(g) for _, g in ex.groupby("sp")], ignore_index=True
+    )
+    if routed.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    prefixes = pd.concat(
+        [prefix_select(g) for _, g in routed.groupby("dp")], ignore_index=True
+    )
+    if prefixes.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return pd.concat(
+        [prefix_posting_pairs(g) for _, g in prefixes.groupby("sp")],
+        ignore_index=True,
+    ).drop_duplicates()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=12
+    )
+)
+def test_prefix_filter_recall(docs):
+    """Prefix filtering must keep EVERY pair with Jaccard >= 1/3 as a
+    candidate (the exactness-preserving bound the ngram join rests on)."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import word_shingle_hashes
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    cands = _prefix_pipeline_sim(df)
+    got = (
+        set(zip(cands["doc_a"].astype(int), cands["doc_b"].astype(int)))
+        if len(cands)
+        else set()
+    )
+    sets = [set(word_shingle_hashes(t).tolist()) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 3 * inter >= union:
+                assert (a, b) in got, (a, b, inter, union)
+
+
+def test_prefix_filter_bounds_stop_shingle_emission():
+    """A stop-shingle shared by m docs (each otherwise unique) must NOT
+    produce the exhaustive index's m(m-1)/2 candidate pairs: the hot
+    shingle has maximal document frequency, sorts LAST in canonical
+    order, and falls outside every doc's prefix."""
+    import numpy as np
+
+    m = 200
+    # each doc: one shared trigram ("common stop phrase") + 8 unique tokens
+    docs = [
+        f"common stop phrase u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h"
+        for i in range(m)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(m, dtype=np.int64), "text": docs})
+    cands = _prefix_pipeline_sim(df)
+    # exhaustive emission would be m(m-1)/2 = 19900 pairs; true J of any
+    # pair is tiny (3 shared trigrams of ~10 each => J < 1/3), so the
+    # prefix index should emit (near) zero candidates
+    assert len(cands) < m, f"stop-shingle blowup: {len(cands)} candidate rows"

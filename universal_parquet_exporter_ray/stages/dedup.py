@@ -371,6 +371,125 @@ def posting_list_pairs(g: pd.DataFrame) -> pd.DataFrame:
 _PAIR_PARTS = 64
 
 
+# ---------------------------------------------------------------------------
+# Prefix filtering (exactness-preserving candidate pruning for the exact
+# n-gram Jaccard join).  Canonical shingle order = (document frequency asc,
+# shingle hash asc) — a global total order.  For Jaccard ≥ t, any qualifying
+# pair shares at least one shingle among each doc's first
+# n − ⌈t·n⌉ + 1 shingles in that order (prefix-filter theorem, SSJoin/ppjoin
+# family), so emitting ONLY prefix shingles to the inverted index preserves
+# recall while a stop-shingle (huge df) sorts last and never detonates an
+# m²/2 pair emission.  df == 1 shingles are dropped outright: they cannot
+# appear in any intersection, and removing them from the ordered list only
+# shifts true df ≥ 2 prefix members EARLIER, so the kept set still contains
+# every theorem-guaranteed witness.  Candidates are then verified with the
+# exact distributed Jaccard (PairShingleEmit → per-pair intersect), which
+# restores the exact intersection counts the pruned index no longer carries.
+# ---------------------------------------------------------------------------
+
+
+def df_stamp_route(g: pd.DataFrame, n_doc_parts: int = 64) -> pd.DataFrame:
+    """One coarse shingle-partition → its rows stamped with each shingle's
+    EXACT global document frequency (a shingle lives entirely in one sp
+    group), df == 1 rows dropped, re-keyed by a coarse doc partition for
+    the per-doc prefix pass."""
+    counts = g["sh"].value_counts()
+    dfreq = g["sh"].map(counts).to_numpy(dtype=np.int64)
+    keep = dfreq >= 2
+    kept = g[keep]
+    ids = kept["doc_id"].to_numpy(dtype=np.int64)
+    dp = (
+        ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(41)
+    ).astype(np.int64) % n_doc_parts
+    return pd.DataFrame(
+        {
+            "dp": dp,
+            "doc_id": ids,
+            "sh": kept["sh"].to_numpy(dtype=np.int64),
+            "dfreq": dfreq[keep],
+            "n": kept["n"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+_EMPTY_PREFIX = pd.DataFrame(
+    {c: pd.Series([], dtype="int64") for c in ("sp", "sh", "doc_id")}
+)
+
+
+def prefix_select(
+    g: pd.DataFrame, t_num: int = 1, t_den: int = 3, n_parts: int = 64
+) -> pd.DataFrame:
+    """One coarse doc-partition → each doc's prefix shingles in canonical
+    (dfreq, sh) order.  Prefix length p = n − ⌈t·n⌉ + 1 uses the doc's FULL
+    distinct-shingle count ``n`` (carried from ShingleExplode), not the
+    df-pruned remainder, so the theorem's bound holds.  t = t_num/t_den as
+    exact integers: ⌈t·n⌉ = (t_num·n + t_den − 1) // t_den.
+
+    df == 1 rows were dropped upstream (they cannot match), but their
+    POSITIONS still count toward the prefix: df == 1 sorts strictly before
+    every df ≥ 2 shingle in canonical order, so a doc with ``m2`` surviving
+    rows has u = n − m2 invisible leading shingles and the i-th surviving
+    shingle's global rank is u + i.  Keeping rank_local < p − u is exactly
+    the theorem's prefix — WITHOUT this correction a stop-shingle whose doc
+    has only unique other shingles would re-enter every prefix and the m²/2
+    blowup would return."""
+    if g.empty:
+        return _EMPTY_PREFIX.copy()
+    g = g.sort_values(["doc_id", "dfreq", "sh"], kind="stable")
+    rank_local = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+    m2 = g.groupby("doc_id", sort=False)["sh"].transform("size").to_numpy(np.int64)
+    n = g["n"].to_numpy(dtype=np.int64)
+    p = n - (t_num * n + t_den - 1) // t_den + 1
+    u = n - m2
+    kept = g[rank_local < p - u]
+    sh = kept["sh"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "sp": ((sh.view(np.uint64) >> np.uint64(7)) % np.uint64(n_parts)).astype(
+                np.int64
+            ),
+            "sh": sh,
+            "doc_id": kept["doc_id"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+_EMPTY_CAND = pd.DataFrame(
+    {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b")}
+)
+
+
+def prefix_posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse prefix-shingle partition → DISTINCT candidate (doc_a,
+    doc_b) pairs sharing a prefix shingle.  Pair volume is bounded by the
+    prefix pruning upstream — the stop-shingle m²/2 blowup cannot occur
+    because max-df shingles sort out of every prefix."""
+    dup = g[g.duplicated("sh", keep=False)]
+    if dup.empty:
+        return _EMPTY_CAND.copy()
+    dup = dup.sort_values(["sh", "doc_id"], kind="stable")
+    sh = dup["sh"].to_numpy()
+    ids = dup["doc_id"].to_numpy(dtype=np.int64)
+    _, starts, counts = np.unique(sh, return_index=True, return_counts=True)
+    out_a, out_b = [], []
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        tri = triu_cache.get(c)
+        if tri is None:
+            tri = triu_cache[c] = np.triu_indices(c, k=1)
+        ia, ib = tri
+        out_a.append(ids[s + ia])
+        out_b.append(ids[s + ib])
+    if not out_a:
+        return _EMPTY_CAND.copy()
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    ).drop_duplicates()
+
+
 def pair_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
     """One pair-partition of posting hits → exact (doc_a, doc_b, inter,
     union) per pair (hit count == intersection size; n_a/n_b ride along)."""

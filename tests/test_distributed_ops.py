@@ -484,3 +484,38 @@ def test_prefix_filter_bounds_stop_shingle_emission():
     # pair is tiny (3 shared trigrams of ~10 each => J < 1/3), so the
     # prefix index should emit (near) zero candidates
     assert len(cands) < m, f"stop-shingle blowup: {len(cands)} candidate rows"
+
+
+def test_thresholded_join_both_plans_agree(ray_session):
+    """The size-thresholded join must produce identical rows whether the
+    small side broadcasts (under the limit) or hash-partitions (over it)."""
+    from universal_parquet_exporter_ray.stages.joins import thresholded_join
+
+    large = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2, 3, 5], "v": [10, 20, 21, 30, 50]})
+    )
+    small = ray.data.from_pandas(
+        pd.DataFrame({"rk": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    )
+
+    def run(limit, how):
+        out = thresholded_join(
+            large,
+            small,
+            left_on=["k"],
+            right_on=["rk"],
+            how=how,
+            broadcast_limit=limit,
+            num_partitions=4,
+        ).to_pandas()
+        return (
+            out[sorted(out.columns)]
+            .sort_values(sorted(out.columns))
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        bcast = run(10**6, how)
+        hashed = run(0, how)
+        assert list(bcast.columns) == list(hashed.columns)
+        pd.testing.assert_frame_equal(bcast, hashed, check_dtype=False)

@@ -30,7 +30,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..sources import load_table
-from ..stages.joins import broadcast_merge, broadcast_semi
+from ..stages.joins import broadcast_merge, broadcast_semi, thresholded_join
 
 QUERIES: dict[str, Callable] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -200,15 +200,16 @@ def q_case_bucket(sf_dir: str):
     "JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 150000",
 )
 def q_join_inner(sf_dir: str):
-    # J1 (reference: JOIN orders ON u.id = o.user_id, basic:125). Dimension
-    # side broadcast — no shuffle.
+    # J1 (reference: JOIN orders ON u.id = o.user_id, basic:125).
+    # Size-thresholded: customer broadcasts below the object-store budget,
+    # hash-partitions above it (customer grows with the corpus at 100 TB).
     orders = load_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     orders = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)),
         batch_format="pyarrow",
     )
-    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    joined = broadcast_merge(
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = thresholded_join(
         orders, cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
     )
     return joined.select_columns(["o_orderkey", "c_name", "o_totalprice"])
@@ -223,14 +224,14 @@ def q_join_inner(sf_dir: str):
 )
 def q_join_left_coalesce(sf_dir: str):
     # J2 + M8 (reference: LEFT JOIN + COALESCE(SUM(o.price),0), advanced:166-171)
+    # the per-customer aggregate scales with the corpus: size-thresholded
+    # (broadcast at test scale, Dataset.join beyond the broadcast budget)
     orders = load_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    per_cust = (
-        orders.groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
-        .to_pandas()
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
     )
     cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = broadcast_merge(
+    joined = thresholded_join(
         cust, per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left"
     )
 
@@ -746,8 +747,8 @@ def q_cte_share(sf_dir: str):
     # F5 + F6 (reference: WITH object_stats AS (...), sqlserver_advanced:164-177
     # + arithmetic on aggregates, advanced:289): CTE = intermediate Dataset.
     orders = load_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = load_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    joined = broadcast_merge(
+    cust = load_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = thresholded_join(
         orders, cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
     )
     seg = (

@@ -47,6 +47,61 @@ def broadcast_merge(
     return ds.map_batches(merge, batch_format="pandas")
 
 
+# Broadcast budget: dimension sides below this row count ship via the object
+# store (one ray.put, zero shuffle); anything larger goes through Ray's
+# hash-partitioned join.  2M rows of a few narrow columns is tens of MB —
+# comfortably inside a worker heap and the object store broadcast budget,
+# while customer-sized tables at 100-TB scale (growing linearly with the
+# corpus) exceed it and must shuffle.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+_RAY_JOIN_TYPE = {"inner": "inner", "left": "left_outer"}
+
+
+def thresholded_join(
+    large: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    *,
+    left_on: list[str],
+    right_on: Optional[list[str]] = None,
+    how: Literal["inner", "left"] = "inner",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Size-thresholded join strategy (round-2 verdict item): broadcast the
+    small side when it fits the object-store budget, hash-partition
+    (``Dataset.join``) when it scales with the corpus.
+
+    The probe is ``small.limit(broadcast_limit + 1).count()`` — streaming
+    early-stop, so an over-limit side is never materialized just to be
+    counted.  Both physical plans yield the same columns: the right-side
+    key columns that duplicate the left's are dropped."""
+    right_keys = right_on or left_on
+    probe = small.limit(broadcast_limit + 1).count()
+    if probe <= broadcast_limit:
+        return broadcast_merge(
+            large, small.to_pandas(), left_on=left_on, right_on=right_keys, how=how
+        )
+    joined = large.join(
+        small,
+        join_type=_RAY_JOIN_TYPE[how],
+        num_partitions=num_partitions,
+        on=tuple(left_on),
+        right_on=tuple(right_keys),
+    )
+    drop = [rk for rk, lk in zip(right_keys, left_on) if rk != lk]
+    if drop:
+        cols_ref = {"drop": drop}
+
+        def strip(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.drop(
+                columns=[c for c in cols_ref["drop"] if c in batch.columns]
+            )
+
+        joined = joined.map_batches(strip, batch_format="pandas")
+    return joined
+
+
 def broadcast_semi(
     ds: "ray.data.Dataset", keys: set, col: str, *, anti: bool = False
 ) -> "ray.data.Dataset":

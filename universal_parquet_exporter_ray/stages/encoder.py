@@ -67,6 +67,8 @@ class PartitionEncoder:
     ``manifest/<pid>.parquet`` atomically → emit the manifest row."""
 
     FSST_CACHE_REFRESH = 16  # retrain a cached symbol table every N partitions
+    CHOICE_CACHE_REFRESH = 16  # re-trial a cached codec choice every N parts
+    CHOICE_RATIO_GUARD = 1.5  # re-trial early if ratio degrades this much
 
     def __init__(self, out_dir: str, lineage: dict | None = None):
         self.out_dir = out_dir
@@ -75,6 +77,15 @@ class PartitionEncoder:
         # encoded chunk stores its own table, so reuse across partitions is
         # correctness-neutral; periodic refresh bounds ratio drift.
         self._fsst_cache: dict[str, tuple[list, int]] = {}
+        # per-actor codec-CHOICE cache: column → (CodecChoice, uses,
+        # fresh_ratio). Profiling showed the per-partition trial encodes
+        # (select_codec) cost ~5× the winning encode itself — the dominant
+        # term of the saturated-socket encode worker-seconds. Every chunk
+        # stores its own codec name, so reusing last partition's winner is
+        # correctness-neutral; the periodic refresh plus a ratio guard
+        # (re-trial immediately when a cached choice compresses ≥1.5× worse
+        # than it did when freshly trialed) bounds ratio drift.
+        self._choice_cache: dict[str, tuple[object, int, float]] = {}
 
     def _cached_fsst(self, column: str):
         entry = self._fsst_cache.get(column)
@@ -82,6 +93,16 @@ class PartitionEncoder:
             return None
         self._fsst_cache[column] = (entry[0], entry[1] + 1)
         return entry[0]
+
+    def _select(self, name: str, arr: pa.Array):
+        """Size-trial selection with a per-column choice cache.
+        Returns (choice, fresh)."""
+        entry = self._choice_cache.get(name)
+        if entry is not None and entry[1] < self.CHOICE_CACHE_REFRESH:
+            self._choice_cache[name] = (entry[0], entry[1] + 1, entry[2])
+            return entry[0], False
+        choice = select_codec(arr, fsst_state=self._cached_fsst(name))
+        return choice, True
 
     def encode_partition(self, data: pa.Table, raw_pid: str) -> pa.Table:
         """Encode one partition table (no PART_COL) → write data + manifest
@@ -92,7 +113,7 @@ class PartitionEncoder:
         codec_map: dict[str, str] = {}
         for name in data.column_names:
             arr = data[name].combine_chunks()
-            choice = select_codec(arr, fsst_state=self._cached_fsst(name))
+            choice, fresh = self._select(name, arr)
             # cache only full-FSST tables: fsst2's pairs-only table would
             # degrade later fsst/fsst_zstd trials if fed back as their state
             if choice.codec in ("fsst", "fsst_zstd") and isinstance(choice.state, list):
@@ -103,7 +124,30 @@ class PartitionEncoder:
             except Exception:
                 # stats were sampled; a codec can fail on the full chunk
                 # (e.g. "constant" when the tail has a second value)
+                self._choice_cache.pop(name, None)
+                choice, fresh = None, False
                 row = encode_column(arr, "zstd")
+            if choice is not None:
+                ratio = row["encoded_bytes"] / max(1, row["input_bytes"])
+                if fresh:
+                    self._choice_cache[name] = (choice, 0, ratio)
+                else:
+                    fresh_ratio = self._choice_cache[name][2]
+                    if ratio > self.CHOICE_RATIO_GUARD * max(1e-9, fresh_ratio):
+                        # data drifted away from the cached choice: re-trial
+                        # now and re-encode with the fresh winner
+                        choice = select_codec(
+                            arr, fsst_state=self._cached_fsst(name)
+                        )
+                        try:
+                            row = encode_column(arr, choice.codec, choice.state)
+                        except Exception:
+                            row = encode_column(arr, "zstd")
+                        self._choice_cache[name] = (
+                            choice,
+                            0,
+                            row["encoded_bytes"] / max(1, row["input_bytes"]),
+                        )
             row["partition_id"] = pid
             row["column"] = name
             codec_map[name] = row["codec"]

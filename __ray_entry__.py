@@ -65,7 +65,8 @@ _COST_ORDER = [
     "semi_distinct", "join_left_coalesce", "rank_global", "stratified_sample",
     "top_terms_by_lang", "quantiles", "multimodal_features", "cte_share",
     "simhash64", "anti_join", "lang_id", "fingerprint", "embedding_near_dup",
-    "ann_ivf_fullprobe", "ann_topk", "ann_ivf_topk", "pivot_events",
+    "ann_ivf_fullprobe", "ann_topk", "ann_ivf_topk", "ann_ivf_pruned",
+    "ann_ivf_pruned_fullprobe", "pivot_events",
     "join_multiway", "projection", "join_compound", "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
 ]

@@ -7,6 +7,7 @@ non-SQL-expressible (driver records the weaker rows-only check)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Callable
 
@@ -845,6 +846,85 @@ def q_ann_ivf_fullprobe(
     nothing. The approximate default (``ann_ivf_topk``, nprobe=4) stays
     rows-only by design."""
     return _ivf_topk(sf_dir, k, n_queries, n_clusters, nprobe=n_clusters)
+
+
+def _ivf_layout_dir(sf_dir: str, n_clusters: int) -> str:
+    import hashlib as _hl
+
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}:{n_clusters}".encode()
+    ).hexdigest()[:12]
+    return f"/tmp/upxr_ivf_layout/{key}"
+
+
+def _ivf_pruned(
+    sf_dir: str, k: int, n_queries: int, n_clusters: int, nprobe: int
+):
+    """IVF over a BUCKET-PARTITIONED corpus layout — the true 100-TB ANN
+    read path. The corpus is written once partitioned by coarse-quantizer
+    bucket (cached + resumable: manifest written last); a probe query then
+    reads ONLY the union of its queries' nprobe bucket files (directory
+    pruning — read task count ≈ #probed buckets, vs the in-stream IVF stage
+    that scans the whole corpus and masks). Scoring reuses IvfTopKCosine,
+    whose per-query probe mask keeps semantics identical to the in-stream
+    plan (a vector in the read union but outside a query's own probes is
+    never scored for that query)."""
+    from ..stages.ann import IvfTopKCosine, build_ivf_layout, kmeans_fit, load_ivf_layout
+
+    layout_dir = _ivf_layout_dir(sf_dir, n_clusters)
+    cached = load_ivf_layout(layout_dir)
+    if cached is None:
+        ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        fit_df = ds.limit(65536).to_pandas()  # bounded k-means fit sample
+        mat = _normalize(
+            np.stack(fit_df["embedding"].to_numpy()).astype(np.float64)
+        )
+        centroids = kmeans_fit(mat, n_clusters)
+        manifest = build_ivf_layout(ds, centroids, layout_dir)
+    else:
+        centroids, manifest = cached
+    qids, qmat = _fetch_queries(sf_dir, n_queries)
+    qsims = qmat @ centroids.T
+    probes = np.argsort(-qsims, axis=1)[:, :nprobe]
+    needed = np.unique(probes)
+    files = manifest[manifest["bucket"].isin(needed)]["path"].tolist()
+    pruned = ray.data.read_parquet(files)
+    qref = ray.put((qids, qmat))
+    cref = ray.put(centroids)
+    cands = pruned.map_batches(
+        IvfTopKCosine,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "centroids_ref": cref,
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pandas",
+        concurrency=4,
+    )
+    out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
+    return _ppm_topk(out, k)
+
+
+@q("ann_ivf_pruned")
+def q_ann_ivf_pruned(
+    sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16
+):
+    """Approximate IVF top-k reading only each query's nprobe=2 bucket
+    partitions from the bucketed layout (rows-only by design; the read-path
+    machinery is oracled exactly by ``ann_ivf_pruned_fullprobe``)."""
+    return _ivf_pruned(sf_dir, k, n_queries, n_clusters, nprobe=2)
+
+
+@q("ann_ivf_pruned_fullprobe", ANN_TOPK_ORACLE_SQL)
+def q_ann_ivf_pruned_fullprobe(
+    sf_dir: str, k: int = 5, n_queries: int = 10, n_clusters: int = 16
+):
+    """Conformance twin for the bucketed-layout read path: nprobe =
+    n_clusters reads every bucket partition through the SAME pruned-read
+    code, making the plan exhaustive so the brute-force SQL oracle applies
+    exactly (layout build + directory pruning + probe mask lose nothing)."""
+    return _ivf_pruned(sf_dir, k, n_queries, n_clusters, nprobe=n_clusters)
 
 
 # ----------------------------------------------------------------------

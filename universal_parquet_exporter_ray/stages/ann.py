@@ -248,3 +248,96 @@ def _pair_ppm_empty() -> pd.DataFrame:
             "cos_ppm": pd.Series([], dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-partitioned IVF corpus layout — the true 100-TB ANN read path.
+# The corpus is written ONCE partitioned by coarse-quantizer bucket (one
+# parquet file per bucket here; one directory of files per bucket at scale),
+# with the fitted centroids persisted alongside.  A probe query then READS
+# only its nprobe buckets' files (directory-level predicate pushdown), so
+# the per-query scan cost is ~nprobe/n_clusters of the corpus instead of a
+# full scan + mask (what the in-stream IVF stage does).
+# ---------------------------------------------------------------------------
+
+
+class AssignBucket:
+    """map_batches stage: stamp each vector's coarse-quantizer bucket
+    (argmax cosine against the broadcast centroids)."""
+
+    def __init__(self, centroids_ref):
+        self.centroids = ray.get(centroids_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        if len(batch) == 0:
+            out["bucket"] = pd.Series([], dtype="int64")
+            return out
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        out["bucket"] = np.argmax(emb @ self.centroids.T, axis=1).astype(np.int64)
+        return out
+
+
+def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
+    """Write ``ds`` (vec_id, embedding) re-partitioned by IVF bucket:
+    ``<out_dir>/bucket=<b>/data.parquet`` one file per bucket (a directory
+    of shard files at scale), ``centroids.npy`` + a bucket manifest at the
+    root.  The write is atomic-per-bucket (tmp + rename) and the manifest
+    is written LAST, so a crashed build is simply rebuilt; a complete
+    layout is detected by the manifest's existence and reused across
+    processes (resume semantics, same contract as the encode manifest)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(
+        AssignBucket,
+        fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, "data.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(
+                g.drop(columns=["bucket"]), preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "path": [path], "n": [len(g)]})
+
+    manifest = (
+        assigned.groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    tmp = os.path.join(out_dir, "manifest.parquet.tmp")
+    final = os.path.join(out_dir, "manifest.parquet")
+    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False), tmp)
+    os.replace(tmp, final)
+    return manifest
+
+
+def load_ivf_layout(out_dir: str):
+    """(centroids, manifest df) of a completed layout, or None."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    m = os.path.join(out_dir, "manifest.parquet")
+    c = os.path.join(out_dir, "centroids.npy")
+    if not (os.path.exists(m) and os.path.exists(c)):
+        return None
+    return np.load(c), pq.read_table(m).to_pandas()

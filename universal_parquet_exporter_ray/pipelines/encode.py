@@ -54,7 +54,9 @@ DatasetLike = Union[str, "ray.data.Dataset"]
 
 def _to_dataset(source: DatasetLike, columns: Optional[list[str]] = None):
     if isinstance(source, str):
-        return ray.data.read_parquet(source, columns=columns)
+        from ..sources.tables import read_parquet_clean
+
+        return read_parquet_clean(source, columns=columns)
     return source
 
 

@@ -192,7 +192,9 @@ def verify_roundtrip(
     fingerprint match (including the sha256-based content fingerprint)."""
     manifest = read_manifest(out_dir).to_pylist()
     lineage = json.loads(manifest[0]["lineage"])
-    ds = source if not isinstance(source, str) else ray.data.read_parquet(source)
+    from ..sources.tables import read_parquet_clean
+
+    ds = source if not isinstance(source, str) else read_parquet_clean(source)
     if content_col is None:
         content_col = _default_content_col(ds.schema().names)
     # reconstruct the identical deterministic assignment from lineage

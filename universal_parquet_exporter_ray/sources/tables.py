@@ -26,6 +26,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return p
 
 
+def read_parquet_clean(
+    path: str, columns: Optional[list[str]] = None
+) -> "ray.data.Dataset":
+    """``read_parquet`` with an explicit metadata-free (projected) schema.
+
+    Pandas-written parquet (the driver's test tables included) carries a
+    ``b'pandas'`` schema-metadata dict that makes ``pyarrow.Schema``
+    unhashable in pyarrow 16, which tripped Ray's schema-dedup hash inside
+    every read/shuffle of these tables ("Failed to hash the schemas" log
+    spam). Stripping at the scan keeps every downstream block schema
+    hashable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = path
+    if os.path.isdir(path):
+        for root, _dirs, fnames in os.walk(path):
+            pqs = sorted(f for f in fnames if f.endswith(".parquet"))
+            if pqs:
+                sample = os.path.join(root, pqs[0])
+                break
+    full = pq.read_schema(sample).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
+
+
 def load_table(
     sf_dir: str, name: str, columns: Optional[list[str]] = None
 ) -> "ray.data.Dataset":
@@ -33,4 +59,4 @@ def load_table(
     from ..context import tune_for_cluster
 
     tune_for_cluster()
-    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+    return read_parquet_clean(table_path(sf_dir, name), columns=columns)

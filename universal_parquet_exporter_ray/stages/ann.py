@@ -309,7 +309,7 @@ def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
         pq.write_table(
             pa.Table.from_pandas(
                 g.drop(columns=["bucket"]), preserve_index=False
-            ),
+            ).replace_schema_metadata(None),
             tmp,
         )
         os.replace(tmp, path)
@@ -325,7 +325,12 @@ def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
     tmp = os.path.join(out_dir, "manifest.parquet.tmp")
     final = os.path.join(out_dir, "manifest.parquet")
-    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False), tmp)
+    pq.write_table(
+        pa.Table.from_pandas(manifest, preserve_index=False).replace_schema_metadata(
+            None
+        ),
+        tmp,
+    )
     os.replace(tmp, final)
     return manifest
 

@@ -9,6 +9,7 @@ import os
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -210,3 +211,33 @@ def test_partition_assignment_stable_across_parallelism(
         ).to_pandas()
         outs.append(mdf.set_index("partition_id").n_rows.sort_index())
     pd.testing.assert_series_equal(outs[0], outs[1])
+
+
+def test_decoded_dataset_projection_validation(tmp_path, ray_session):
+    """Unknown projected columns raise once, driver-side, with a clear
+    message; an empty/missing output dir raises instead of silently
+    returning an empty dataset."""
+    from universal_parquet_exporter_ray.pipelines import encode_dataset
+    from universal_parquet_exporter_ray.pipelines.verify import decoded_dataset
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r1"] * 6 + ["r2"] * 6,
+                "path": [f"f{i}" for i in range(12)],
+                "content": [f"body {i}" for i in range(12)],
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "out")
+    encode_dataset(str(src), out, hash_cols=["path"], target_rows_per_partition=6).to_pandas()
+
+    with pytest.raises(ValueError, match="no_such_col"):
+        decoded_dataset(out, columns=["no_such_col"])
+    with pytest.raises(ValueError, match="no encoded partitions"):
+        decoded_dataset(str(tmp_path / "nowhere"))
+
+    got = decoded_dataset(out, columns=["content"]).to_pandas()
+    assert sorted(got["content"]) == sorted(f"body {i}" for i in range(12))

@@ -575,8 +575,10 @@ def q_percent_rank(sf_dir: str):
     from ..stages.rank import distributed_rank
 
     ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    n = ds.count()
-    ranked = distributed_rank(ds, "o_totalprice", "rnk", descending=True)
+    # n comes from the rank machinery's own per-range counts — no extra scan
+    ranked, n = distributed_rank(
+        ds, "o_totalprice", "rnk", descending=True, return_total=True
+    )
 
     def pr(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -700,7 +702,19 @@ def q_json_extract_agg(sf_dir: str):
     ds = load_table(sf_dir, "events", ["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        raw = df["props"].str.extract(r'"k": (\d+)', expand=False)
+        bad = raw.isna()
+        if bad.any():
+            # match the oracle's data contract (every props row carries
+            # '"k": N' — DuckDB's CAST likewise fails on a miss) with a
+            # clear error naming the offender instead of a dtype-cast
+            # ValueError deep inside the task
+            sample = df.loc[bad, "props"].iloc[0]
+            raise ValueError(
+                f'json_extract_agg: {int(bad.sum())} props rows lack the '
+                f'\'"k": N\' field (e.g. {sample!r})'
+            )
+        k = pd.to_numeric(raw, errors="raise").astype("int64")
         return pd.DataFrame({"event_type": df["event_type"], "k": k})
 
     return (

@@ -123,8 +123,51 @@ def decoded_dataset(
 
     from ..state.manifest import parts_path
 
+    import json as _json
+
+    import pyarrow as pa  # noqa: F811 (closure type hints)
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import read_manifest
+
     files = sorted(glob.glob(os.path.join(parts_path(out_dir), "*", "data.parquet")))
+    if not files:
+        raise ValueError(
+            f"decoded_dataset: no encoded partitions under {out_dir!r} "
+            "(missing, incomplete, or corrupt output directory)"
+        )
     wanted = set(columns) if columns is not None else None
+    empty_schema = None
+    if wanted is not None:
+        # validate the projection ONCE up front against the manifest (the
+        # union of per-partition codec maps) — a clear driver-side error
+        # instead of a per-batch failure deep inside a Ray task; individual
+        # partitions may still legitimately lack a column (heterogeneous
+        # sources) and decode to an empty typed table below.
+        all_cols: set = set()
+        for cj in read_manifest(out_dir)["codecs"].to_pylist():
+            all_cols.update(_json.loads(cj))
+        missing = wanted - all_cols
+        if missing:
+            raise ValueError(
+                f"decoded_dataset: columns {sorted(missing)} not present in "
+                f"the encoded output (available: {sorted(all_cols)})"
+            )
+        # typed empty-batch schema from the first file carrying each column
+        from ..codecs.base import type_from_bytes
+
+        field_types: dict = {}
+        for path in files:
+            t = _pq.read_table(path, columns=["column", "type_ipc"])
+            for c, tb in zip(t["column"].to_pylist(), t["type_ipc"].to_pylist()):
+                if c in wanted and c not in field_types:
+                    field_types[c] = type_from_bytes(tb)
+            if len(field_types) == len(wanted):
+                break
+        empty_schema = pa.schema(
+            [pa.field(c, field_types[c]) for c in sorted(wanted)]
+            + [pa.field("_part", pa.string())]
+        )
 
     def decode_files(batch: "pa.Table") -> "pa.Table":
         import pyarrow as pa
@@ -140,13 +183,10 @@ def decoded_dataset(
             if t.num_rows:
                 outs.append(decoder(t))
         if not outs:
-            raise ValueError(
-                "decoded_dataset: none of the requested columns exist in "
-                f"the encoded partitions of this batch ({columns!r})"
-            )
+            # a partition without any requested column: empty typed block
+            # (consistent with multi-file batches that skip it silently)
+            return empty_schema.empty_table()
         return pa.concat_tables(outs, promote_options="default")
-
-    import pyarrow as pa  # noqa: F811 (closure type hints)
 
     return ray.data.from_items(
         [{"path": f} for f in files], override_num_blocks=max(1, len(files))

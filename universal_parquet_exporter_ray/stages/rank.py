@@ -63,8 +63,13 @@ def distributed_rank(
     *,
     descending: bool = True,
     max_splitters: int = 63,
+    return_total: bool = False,
 ) -> "ray.data.Dataset":
-    """Append ``out_col`` = RANK() OVER (ORDER BY col [DESC]) to ``ds``."""
+    """Append ``out_col`` = RANK() OVER (ORDER BY col [DESC]) to ``ds``.
+
+    ``return_total=True`` → ``(dataset, n_rows)``: the total is the sum of
+    the per-range counts this machinery already computes, so callers that
+    need n (PERCENT_RANK's denominator) avoid a second full corpus scan."""
     # 1. bounded splitter sample (stride per batch → quantiles on the driver)
     sample = (
         ds.select_columns([col])
@@ -110,8 +115,11 @@ def distributed_rank(
         g[out_col] = local + int(off[rng])
         return g
 
-    return (
+    ranked = (
         ds.map_batches(assign, batch_format="pandas")
         .groupby("_rng")
         .map_groups(rank_group, batch_format="pandas")
     )
+    if return_total:
+        return ranked, int(counts.sum())
+    return ranked

@@ -232,14 +232,26 @@ class FsstCodec(Codec):
         data, _ = _string_buffer(sample)
         return train_table(data)
 
+    # Encode the concatenated buffer in cache-sized chunks: the token list
+    # of a multi-MB findall is millions of small PyBytes whose allocation
+    # and pointer-chasing dominate at a saturated socket (memory latency,
+    # round-2 scaling decomposition). A 256 KiB window keeps the working
+    # set near L2-sized; a greedy match split at a chunk boundary only
+    # changes the tokenization (never the decoded bytes), costing <0.1%
+    # ratio on the bench fixture.
+    ENCODE_CHUNK = 256 * 1024
+
     def encode(self, arr: pa.Array, state: Any = None) -> Encoded:
         data, offsets = _string_buffer(arr)
         symbols = state if state is not None else train_table(data)
         rx, repl = _compile(symbols)
         # findall + map(dict.__getitem__) + join stays in C — re.sub with a
         # Python replacement lambda costs ~1µs per emitted token
-        tokens = rx.findall(data)
-        encoded = b"".join(map(repl.__getitem__, tokens))
+        parts = []
+        for lo in range(0, len(data), self.ENCODE_CHUNK):
+            tokens = rx.findall(data[lo : lo + self.ENCODE_CHUNK])
+            parts.append(b"".join(map(repl.__getitem__, tokens)))
+        encoded = b"".join(parts)
         lengths = np.diff(offsets)
         len_enc = get_codec("forpack").encode(pa.array(lengths))
         if self.compress:

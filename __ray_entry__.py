@@ -64,7 +64,8 @@ _COST_ORDER = [
     "json_extract_agg", "media_resize", "percent_rank", "head_preview",
     "semi_distinct", "join_left_coalesce", "rank_global", "stratified_sample",
     "top_terms_by_lang", "quantiles", "multimodal_features", "cte_share",
-    "simhash64", "anti_join", "lang_id", "fingerprint", "embedding_near_dup",
+    "simhash64", "anti_join", "lang_id", "contamination_scan", "fingerprint",
+    "embedding_near_dup",
     "ann_ivf_fullprobe", "ann_topk", "ann_ivf_topk", "ann_ivf_pruned",
     "ann_ivf_pruned_fullprobe", "pivot_events",
     "join_multiway", "projection", "join_compound", "ngram_jaccard_pairs",

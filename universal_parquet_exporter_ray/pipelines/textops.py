@@ -638,6 +638,66 @@ def q_top_terms_by_lang(sf_dir: str, k: int = 5):
     return summed.groupby("lang").map_groups(final, batch_format="pandas")
 
 
+CONTAMINATION_ORACLE_SQL = """
+WITH probes AS (
+  SELECT doc_id AS probe_id, substr(text, 17, 40) AS probe
+  FROM documents WHERE doc_id < 5 AND length(text) >= 56
+)
+SELECT d.doc_id, p.probe_id
+FROM documents d JOIN probes p ON contains(d.text, p.probe)
+"""
+
+
+@q("contamination_scan", CONTAMINATION_ORACLE_SQL)
+def q_contamination_scan(sf_dir: str, n_probes: int = 5):
+    """Benchmark decontamination — the standard pre-training hygiene pass:
+    find every document containing any probe string from a (broadcast)
+    benchmark set. Probes here are deterministic 40-char excerpts of the
+    first ``n_probes`` docs (fetched via parquet predicate pushdown — no
+    corpus scan, no external data); the corpus-sized side streams through
+    one vectorized ``str.contains`` pass per probe. At a real benchmark's
+    probe count (10⁴–10⁶), swap the per-probe loop for an Aho–Corasick
+    automaton built once per actor in ``__init__`` — the batch shape,
+    broadcast, and emit layout stay identical."""
+    import pyarrow.parquet as pq_
+
+    probe_tbl = pq_.read_table(
+        table_path(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", n_probes)],
+    ).to_pandas()
+    probe_tbl = probe_tbl[probe_tbl["text"].str.len() >= 56]
+    probes = [
+        (int(r.doc_id), r.text[16:56]) for r in probe_tbl.itertuples()
+    ]
+    pref = ray.put(probes)
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ps = ray.get(pref)
+        out_d, out_p = [], []
+        for pid, probe in ps:
+            hit = df["text"].str.contains(probe, regex=False)
+            ids = df.loc[hit, "doc_id"].to_numpy(dtype=np.int64)
+            out_d.append(ids)
+            out_p.append(np.full(len(ids), pid, dtype=np.int64))
+        if not out_d:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "probe_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_d),
+                "probe_id": np.concatenate(out_p),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
 CURATE_ORACLE_SQL = """
 SELECT min(doc_id) AS doc_id
 FROM documents

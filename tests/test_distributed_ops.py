@@ -270,6 +270,101 @@ def test_read_sql_validate_fails_fast(tmp_path):
         validate_connection(duckdb_factory(str(tmp_path / "missing.db")))
 
 
+def test_driver_autodetect_preference_order(tmp_path):
+    """detect_drivers mirrors the reference's ODBC autodetect: usable
+    candidates only, preference-ordered, extras appended after."""
+    import duckdb
+
+    from universal_parquet_exporter_ray.sources.sql import (
+        ConnectError,
+        detect_drivers,
+        duckdb_factory,
+        select_factory,
+        validate_prerequisites,
+    )
+
+    db = str(tmp_path / "src.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT 1 AS x")
+    con.close()
+
+    def broken():
+        raise OSError("driver not installed")
+
+    cands = {
+        "legacy": duckdb_factory(db),
+        "broken-driver": broken,
+        "preferred": duckdb_factory(db),
+    }
+    assert detect_drivers(cands, ["preferred", "broken-driver"]) == ["preferred", "legacy"]
+    name, factory = select_factory(cands, ["broken-driver", "preferred"])
+    assert name == "preferred"
+    factory().close()
+    diag = validate_prerequisites(cands, ["preferred"])
+    assert diag["ok"] and diag["recommended_driver"] == "preferred"
+    with pytest.raises(ConnectError, match="no usable"):
+        select_factory({"broken-driver": broken})
+
+
+def test_connect_with_recovery_patch_retry():
+    """One-shot patch-and-retry protocol: classifier-gated, cleanup on
+    double failure, combined error message (reference TLS-patch retry)."""
+    from universal_parquet_exporter_ray.sources.sql import (
+        ConnectError,
+        connect_with_recovery,
+    )
+
+    state = {"patched": False, "cleaned": False, "attempts": 0}
+
+    def flaky_factory():
+        state["attempts"] += 1
+        if not state["patched"]:
+            raise OSError("TCP Provider: error 10054 legacy TLS")
+        return object()
+
+    def classify(e):
+        return "10054" in str(e)
+
+    def patch():
+        state["patched"] = True
+
+        def cleanup():
+            state["cleaned"] = True
+
+        return cleanup
+
+    conn = connect_with_recovery(flaky_factory, is_recoverable=classify, apply_patch=patch)
+    assert conn is not None and state["attempts"] == 2 and not state["cleaned"]
+
+    # non-matching error: no retry, single ConnectError
+    state.update(patched=False, attempts=0)
+
+    def hard_fail():
+        state["attempts"] += 1
+        raise OSError("login failed for user")
+
+    with pytest.raises(ConnectError, match="connection failed"):
+        connect_with_recovery(hard_fail, is_recoverable=classify, apply_patch=patch)
+    assert state["attempts"] == 1
+
+    # patch applied but retry still fails: cleanup runs, combined message
+    state.update(patched=False, cleaned=False, attempts=0)
+
+    def always_tls():
+        state["attempts"] += 1
+        raise OSError("TCP Provider: error 10054")
+
+    def patch_noop():
+        def cleanup():
+            state["cleaned"] = True
+
+        return cleanup
+
+    with pytest.raises(ConnectError, match="Original error"):
+        connect_with_recovery(always_tls, is_recoverable=classify, apply_patch=patch_noop)
+    assert state["attempts"] == 2 and state["cleaned"]
+
+
 def test_decimal_column_through_encode(ray_session, tmp_path):
     """decimal128(12,2) survives the full encode→decode pipeline."""
     import pyarrow.compute as pc

@@ -23,9 +23,98 @@ network/database server exists in this environment.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import ray.data
+
+
+class ConnectError(RuntimeError):
+    """Connection failure with the reference's enhanced-error contract: the
+    message carries the original driver error plus diagnostic context
+    (``sqlserver_connection.py:258-260,296`` builds a combined message rather
+    than re-raising the raw driver exception)."""
+
+
+def detect_drivers(
+    candidates: dict[str, Callable[[], Any]],
+    preference: Optional[Sequence[str]] = None,
+) -> list[str]:
+    """Probe a set of named connection factories and return the usable ones
+    in preference order — the engine analogue of the reference's ODBC driver
+    autodetect (``sqlserver_connection.py:29-59``): enumerate what the host
+    actually has, order by a preferred-driver list, append any other working
+    candidate after the preferred ones.
+
+    A candidate is "available" if its factory can open and close a
+    connection. Probes run driver-side (cheap, once per job), never inside
+    Ray tasks."""
+    available: list[str] = []
+    usable = set()
+    for name, factory in candidates.items():
+        try:
+            conn = factory()
+            conn.close()
+            usable.add(name)
+        except Exception:
+            continue
+    for name in preference or ():
+        if name in usable and name not in available:
+            available.append(name)
+    for name in candidates:
+        if name in usable and name not in available:
+            available.append(name)
+    return available
+
+
+def connect_with_recovery(
+    connection_factory: Callable[[], Any],
+    *,
+    is_recoverable: Optional[Callable[[Exception], bool]] = None,
+    apply_patch: Optional[Callable[[], Callable[[], None]]] = None,
+) -> Any:
+    """Open a connection with the reference's one-shot patch-and-retry
+    protocol (``sqlserver_connection.py:263-298``): attempt normally; if the
+    failure matches a recoverable-error classifier (there: the macOS OpenSSL
+    TLS signature, ``:92-105``), apply an environment patch, retry exactly
+    once, and undo the patch if the retry also fails; all failures raise
+    ``ConnectError`` with the combined original + retry detail.
+
+    ``apply_patch`` returns a cleanup callable (the reference tracks its
+    OpenSSL config tempfile the same way, ``:27,284``)."""
+    try:
+        return connection_factory()
+    except Exception as first:
+        if is_recoverable is None or apply_patch is None or not is_recoverable(first):
+            raise ConnectError(f"connection failed: {first}") from first
+        cleanup = apply_patch()
+        try:
+            return connection_factory()
+        except Exception as second:
+            try:
+                cleanup()
+            except Exception:
+                pass
+            raise ConnectError(
+                "connection failed even with recovery patch: "
+                f"{second}\n\nOriginal error: {first}\n\n"
+                "This suggests the issue is not the patched compatibility "
+                "problem; check server configuration and connectivity."
+            ) from second
+
+
+def validate_prerequisites(
+    candidates: dict[str, Callable[[], Any]],
+    preference: Optional[Sequence[str]] = None,
+) -> dict[str, Any]:
+    """Preflight diagnostics before any task is scheduled — reference
+    ``validate_connection_prerequisites`` (``sqlserver_connection.py:300-347``):
+    which drivers exist, which one would be used."""
+    available = detect_drivers(candidates, preference)
+    return {
+        "drivers_available": available,
+        "recommended_driver": available[0] if available else None,
+        "ok": bool(available),
+    }
 
 
 def validate_connection(connection_factory: Callable[[], Any], probe_sql: str = "SELECT 1") -> None:
@@ -42,6 +131,22 @@ def validate_connection(connection_factory: Callable[[], Any], probe_sql: str = 
             cur.close()
     finally:
         conn.close()
+
+
+def select_factory(
+    candidates: dict[str, Callable[[], Any]],
+    preference: Optional[Sequence[str]] = None,
+) -> tuple[str, Callable[[], Any]]:
+    """Pick the best available connection factory (reference behavior: use
+    the first driver from the autodetected preference-ordered list,
+    ``sqlserver_connection.py:238-246``). Raises ``ConnectError`` listing the
+    probed candidates when none works."""
+    available = detect_drivers(candidates, preference)
+    if not available:
+        probed = ", ".join(candidates) if candidates else "(none given)"
+        raise ConnectError(f"no usable connection factory among candidates: {probed}")
+    name = available[0]
+    return name, candidates[name]
 
 
 def read_sql_query(

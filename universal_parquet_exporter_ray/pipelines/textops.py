@@ -23,7 +23,13 @@ from ..sources import load_table, table_path
 from ..stages.ann import BatchTopKCosine, _normalize, final_topk
 from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
-from ..stages.text import FingerprintStage, LangIdStage, quality_score, token_count
+from ..stages.text import (
+    FingerprintStage,
+    LangIdStage,
+    RedactStage,
+    quality_score,
+    token_count,
+)
 
 QUERIES: dict[str, Callable] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -696,6 +702,34 @@ def q_contamination_scan(sf_dir: str, n_probes: int = 5):
         )
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+REDACT_ORACLE_SQL = """
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b(?:spark|secret|password)\\b', '<TERM>', 'g') AS red_text,
+  len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+  + len(regexp_extract_all(text,
+    '\\b(?:spark|secret|password)\\b')) AS n_hits
+FROM documents
+"""
+
+
+@q("redact_pii", REDACT_ORACLE_SQL)
+def q_redact_pii(sf_dir: str):
+    """PII / blocklist redaction scan over the corpus: email + IPv4 regexes
+    plus a blocklist-term pattern, applied in order, with per-row hit counts.
+    Pure per-row map — no shuffle; patterns compile once per actor
+    (``stages/text.py`` RedactStage), batches stay vectorized pandas str
+    kernels. At 100 TB this is exactly the shape you want: embarrassingly
+    parallel, output written partition-aligned with the input."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RedactStage, batch_format="pandas", concurrency=(1, 4))
 
 
 CURATE_ORACLE_SQL = """

@@ -102,3 +102,41 @@ class FingerprintStage:
         out = df[["doc_id"]].copy()
         out["fingerprint"] = [format(self._fp(t), "016x") for t in df["text"]]
         return out
+
+
+# Redaction pattern set: (name, regex, replacement). Regexes are restricted
+# to syntax with identical semantics in Python ``re`` and RE2 (DuckDB
+# ``regexp_replace``): no backrefs, no lookaround, leftmost-first
+# alternation only. Patterns apply IN ORDER, each over the previous
+# pattern's output (matching the oracle's nested regexp_replace), and none
+# of the replacement tokens can match a later pattern.
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("blockterm", r"\b(?:spark|secret|password)\b", "<TERM>"),
+]
+
+
+class RedactStage:
+    """PII / blocklist-term redaction — the training-data hygiene pass that
+    scrubs emails, IP addresses, and a configurable blocklist before a
+    corpus ships. Actor-pool stage: patterns compile once per actor in
+    ``__init__``; ``__call__`` is vectorized pandas ``str.replace`` /
+    ``str.count`` over the batch. Hit counts are measured against the
+    ORIGINAL text per pattern (order-independent, exactly what the SQL twin
+    computes with ``len(regexp_extract_all(text, pat))``)."""
+
+    def __init__(self, patterns: list[tuple[str, str, str]] | None = None):
+        pats = patterns if patterns is not None else REDACTION_PATTERNS
+        self.compiled = [(re.compile(p), repl) for _, p, repl in pats]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        red = df["text"]
+        n_hits = np.zeros(len(df), dtype=np.int64)
+        for rx, repl in self.compiled:
+            n_hits += df["text"].str.count(rx).fillna(0).to_numpy(np.int64)
+            red = red.str.replace(rx, repl, regex=True)
+        out["red_text"] = red
+        out["n_hits"] = n_hits
+        return out

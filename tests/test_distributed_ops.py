@@ -240,6 +240,31 @@ def test_simhash_md5_parity_with_duckdb():
     assert s == SimHashStage.simhash64("a b c a")
 
 
+def test_distributed_prefix_sum_exact(ray_session):
+    """Exclusive prefix sum matches numpy cumsum across many ranges and
+    shuffled input block order."""
+    import numpy as np
+    import ray.data as rd
+
+    from universal_parquet_exporter_ray.stages.rank import distributed_prefix_sum
+
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(2000).astype(np.int64)
+    vals = rng.integers(0, 50, size=2000).astype(np.int64)
+    t = pa.table({"k": keys, "v": vals})
+    ds = rd.from_arrow(t).repartition(13)
+    out = (
+        distributed_prefix_sum(ds, "k", "v", "pre", max_splitters=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(keys)
+    expect = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+    assert (out["pre"].to_numpy() == expect).all()
+    assert (out["k"].to_numpy() == keys[order]).all()
+
+
 def test_read_sql_roundtrip(ray_session, tmp_path):
     import duckdb
 

@@ -732,6 +732,55 @@ def q_redact_pii(sf_dir: str):
     return ds.map_batches(RedactStage, batch_format="pandas", concurrency=(1, 4))
 
 
+SEQPACK_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  tok_start % 512 AS seq_offset,
+  tok_start // 512 AS seq_first,
+  CASE WHEN n_tokens = 0 THEN tok_start // 512
+       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last
+FROM c
+"""
+
+
+@q("sequence_pack", SEQPACK_ORACLE_SQL)
+def q_sequence_pack(sf_dir: str, seq_len: int = 512):
+    """Training-sequence packing, concatenate-then-chunk style: tokenize
+    (whitespace), lay all docs end-to-end in doc_id order, and chunk the
+    token stream into fixed ``seq_len`` blocks. Emits each doc's global
+    token offset mapped to (first sequence, last sequence, offset within
+    first) — the index a loader needs to materialize packed batches.
+
+    The global token offset is a distributed exclusive prefix sum
+    (``stages/rank.py`` distributed_prefix_sum): bounded splitter sample +
+    exact per-range partial sums + O(K) driver offsets — no global sorted
+    pass, nothing corpus-sized on the driver."""
+    from ..stages.rank import distributed_prefix_sum
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    tok = ds.map_batches(token_count, batch_format="pandas")
+    pre = distributed_prefix_sum(tok, "doc_id", "n_tokens", "tok_start")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        start = df["tok_start"].to_numpy(dtype=np.int64)
+        n = df["n_tokens"].to_numpy(dtype=np.int64)
+        out = df[["doc_id", "n_tokens"]].copy()
+        out["seq_offset"] = start % seq_len
+        out["seq_first"] = start // seq_len
+        out["seq_last"] = np.where(n == 0, start // seq_len, (start + n - 1) // seq_len)
+        return out
+
+    return pre.map_batches(finish, batch_format="pandas")
+
+
 CURATE_ORACLE_SQL = """
 SELECT min(doc_id) AS doc_id
 FROM documents

@@ -123,3 +123,73 @@ def distributed_rank(
     if return_total:
         return ranked, int(counts.sum())
     return ranked
+
+
+def distributed_prefix_sum(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    *,
+    max_splitters: int = 63,
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = exclusive prefix sum of ``val_col`` over
+    ``order_col`` ascending — ``SUM(val) OVER (ORDER BY key ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` at scale, same plan as ``distributed_rank``:
+    bounded splitter sample on the order key, exact per-range partial SUMS
+    (one (range, sum) row per batch), driver-side exclusive cumsum over the
+    O(K) range totals, then a per-range local sort + cumsum + offset.
+    ``order_col`` must be unique (a key); equal keys would make the local
+    shift order ambiguous."""
+    sample = (
+        ds.select_columns([order_col])
+        .map_batches(_sample_stage(order_col), batch_format="pandas")
+        .to_pandas()[order_col]
+        .to_numpy()
+    )
+    qs = np.linspace(0, 1, max_splitters + 2)[1:-1]
+    splitters = np.unique(np.quantile(sample, qs)) if len(sample) else np.array([])
+    n_ranges = len(splitters) + 1
+    sp_ref = ray.put(splitters)
+
+    def range_sums(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sp_ref)
+        r = np.searchsorted(sp, df[order_col].to_numpy(), side="right")
+        v = df[val_col].to_numpy(dtype=np.int64)
+        sums = np.bincount(r, weights=v, minlength=n_ranges).astype(np.int64)
+        return pd.DataFrame(
+            {"rng": np.arange(n_ranges, dtype=np.int64), "s": sums}
+        )
+
+    partials = (
+        ds.select_columns([order_col, val_col])
+        .map_batches(range_sums, batch_format="pandas")
+        .to_pandas()
+    )
+    totals = (
+        partials.groupby("rng")["s"].sum().reindex(range(n_ranges), fill_value=0).to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sp_ref)
+        df = df.copy()
+        df["_rng"] = np.searchsorted(sp, df[order_col].to_numpy(), side="right").astype(
+            np.int64
+        )
+        return df
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        rng = int(g["_rng"].iloc[0])
+        g = g.sort_values(order_col).drop(columns=["_rng"]).copy()
+        v = g[val_col].to_numpy(dtype=np.int64)
+        g[out_col] = np.concatenate([[0], np.cumsum(v)[:-1]]) + int(off[rng])
+        return g
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_rng")
+        .map_groups(scan_group, batch_format="pandas")
+    )

@@ -7,6 +7,7 @@ non-SQL-expressible (driver records the weaker rows-only check)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from typing import Callable
@@ -779,6 +780,128 @@ def q_sequence_pack(sf_dir: str, seq_len: int = 512):
         return out
 
     return pre.map_batches(finish, batch_format="pandas")
+
+
+SEGDEDUP_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+), segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+         array_to_string(tk[(i*8+1):((i+1)*8)], ' ') AS seg
+  FROM toks, UNNEST(range(CAST(ceil(len(tk)/8.0) AS BIGINT))) AS t(i)
+), marked AS (
+  SELECT doc_id, seg_no, seg, count(*) OVER (PARTITION BY seg) AS c
+  FROM segs
+)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text
+FROM marked WHERE c = 1 GROUP BY doc_id
+"""
+
+
+@q("segment_dedup", SEGDEDUP_ORACLE_SQL)
+def q_segment_dedup(sf_dir: str, seg_tokens: int = 8, n_buckets: int = 32):
+    """C4-style duplicate-segment removal at token-window granularity:
+    tumbling ``seg_tokens``-token segments that occur more than once
+    ANYWHERE in the corpus are deleted from every document; survivors are
+    reassembled in order (docs with no surviving segment drop out).
+
+    Scale shape — two coarse shuffles, no broadcast, nothing corpus-sized
+    on the driver:
+    1. segment+hash stage emits (md5(seg), doc_id, seg_no) — hashes only,
+       never segment text, cross the wire;
+    2. ``groupby(hash-bucket)`` + a vectorized pandas groupby inside each
+       coarse bucket finds duplicated hashes and emits (doc_id, seg_no)
+       drop rows (output-sized: one row per duplicate occurrence);
+    3. drop rows and documents are hash co-partitioned on doc_id (tagged
+       union, same plan as lang_centroids) and each bucket group re-splits
+       its docs, deletes dropped segment indices, and reassembles.
+    128-bit hashes make a cross-segment collision (the one source of
+    divergence from the text-equality oracle) vanishingly unlikely."""
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit_segs(df: pd.DataFrame) -> pd.DataFrame:
+        h, d, s = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = text.split()
+            for i in range((len(toks) + seg_tokens - 1) // seg_tokens):
+                seg = " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
+                h.append(hashlib.md5(seg.encode()).hexdigest())
+                d.append(did)
+                s.append(i)
+        out = pd.DataFrame(
+            {
+                "h": pd.Series(h, dtype="object"),
+                "doc_id": pd.Series(d, dtype="int64"),
+                "seg_no": pd.Series(s, dtype="int64"),
+            }
+        )
+        out["hb"] = out["h"].str[:2].apply(lambda x: int(x, 16) % n_buckets).astype(
+            "int64"
+        ) if len(out) else pd.Series([], dtype="int64")
+        return out
+
+    segs = docs.map_batches(emit_segs, batch_format="pandas")
+
+    def find_dups(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h")["h"].transform("size")
+        # reset: downstream stages build frames from fresh RangeIndex series
+        return g.loc[c >= 2, ["doc_id", "seg_no"]].reset_index(drop=True)
+
+    drops = segs.groupby("hb").map_groups(find_dups, batch_format="pandas")
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "db": ids % n_buckets,
+                "doc_id": ids,
+                "text": df["text"].to_numpy(),
+                "seg_no": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "db": ids % n_buckets,
+                "doc_id": ids,
+                "text": pd.Series([None] * len(df), dtype="object"),
+                "seg_no": df["seg_no"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pandas").union(
+        drops.map_batches(tag_drops, batch_format="pandas")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc_side = g["seg_no"] < 0
+        dropped: dict[int, set] = {}
+        for did, sn in zip(
+            g.loc[~doc_side, "doc_id"].to_numpy(), g.loc[~doc_side, "seg_no"].to_numpy()
+        ):
+            dropped.setdefault(int(did), set()).add(int(sn))
+        ids, texts = [], []
+        for did, text in zip(g.loc[doc_side, "doc_id"].to_numpy(), g.loc[doc_side, "text"]):
+            toks = text.split()
+            gone = dropped.get(int(did), ())
+            kept = [
+                " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
+                for i in range((len(toks) + seg_tokens - 1) // seg_tokens)
+                if i not in gone
+            ]
+            if kept:
+                ids.append(int(did))
+                texts.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "clean_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return both.groupby("db").map_groups(rebuild, batch_format="pandas")
 
 
 CURATE_ORACLE_SQL = """

@@ -94,11 +94,45 @@ def _unpack_table(buf: bytes) -> list[bytes]:
     return out
 
 
+def _trie_regex(symbols: list[bytes]) -> bytes:
+    """Prefix-trie-structured alternation equivalent to trying the symbols
+    longest-first: children of a node are disjoint on their next byte, and
+    the empty alternative (accept the shorter symbol ending here) is always
+    LAST, so sre's ordered alternation yields exact greedy longest-match.
+    A flat 254-literal alternation costs O(#symbols) comparisons per input
+    position in sre; the trie costs O(match depth + fanout)."""
+    trie: dict = {}
+    TERM = -1
+    for s in symbols:
+        node = trie
+        for ch in s:
+            node = node.setdefault(ch, {})
+        node[TERM] = True
+
+    def render(node: dict) -> bytes:
+        term = TERM in node
+        parts = [
+            re.escape(bytes([ch])) + render(child)
+            for ch, child in sorted(node.items())
+            if ch != TERM
+        ]
+        if not parts:
+            return b""
+        body = b"|".join(parts)
+        if term:
+            return b"(?:" + body + b"|)"
+        if len(parts) == 1:
+            # single mandatory continuation: no group needed
+            return parts[0]
+        return b"(?:" + body + b")"
+
+    return render(trie)
+
+
 def _compile(symbols: list[bytes]):
-    """Greedy longest-match tokenizer: alternation sorted longest-first, with
-    a catch-all single byte as the last alternative."""
-    ordered = sorted(symbols, key=len, reverse=True)
-    pattern = b"|".join(re.escape(s) for s in ordered) + (b"|" if ordered else b"") + b"(?s:.)"
+    """Greedy longest-match tokenizer: trie-structured alternation (see
+    ``_trie_regex``) with a catch-all single byte as the last alternative."""
+    pattern = (_trie_regex(symbols) + b"|" if symbols else b"") + b"(?s:.)"
     rx = re.compile(pattern)
     repl: dict[bytes, bytes] = {}
     for code, s in enumerate(symbols):

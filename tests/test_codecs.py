@@ -260,6 +260,67 @@ def test_decimal_roundtrip():
         roundtrip(arr, codec)
 
 
+# ---- ALP (adaptive lossless float) --------------------------------------
+
+
+def test_alp_decimal_floats_compress():
+    prices = np.round(RNG.uniform(0, 100000, 20000), 2)
+    arr = pa.array(prices)
+    row = roundtrip(arr, "alp")
+    z = encode_column(arr, "zstd")
+    assert row["encoded_bytes"] < z["encoded_bytes"]
+
+
+def test_alp_true_reals_roundtrip():
+    # all-exception path: every value fails the decimal round trip
+    arr = pa.array(RNG.normal(0, 1, 3000))
+    roundtrip(arr, "alp")
+
+
+def test_alp_special_values_bit_identical():
+    vals = [1.25, None, float("nan"), float("inf"), -float("inf"), -0.0, 0.1, 1e300, -1e-300] * 50
+    arr = pa.array(vals, type=pa.float64())
+    row = encode_column(arr, "alp")
+    dec = decode_column(row)
+    assert dec.is_null().equals(arr.is_null())
+    assert np.array_equal(
+        arr.to_numpy(zero_copy_only=False).view(np.int64),
+        dec.to_numpy(zero_copy_only=False).view(np.int64),
+    )
+
+
+def test_alp_float32():
+    arr = pa.array(np.round(RNG.uniform(0, 100, 5000), 2).astype(np.float32))
+    row = roundtrip(arr, "alp")
+    assert row["encoded_bytes"] < row["input_bytes"]
+
+
+def test_alp_empty():
+    roundtrip(pa.array([], type=pa.float64()), "alp")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False),
+            st.decimals(places=2, allow_nan=False, allow_infinity=False).map(float),
+        ),
+        max_size=200,
+    )
+)
+def test_prop_alp(data):
+    arr = pa.array(data, type=pa.float64())
+    row = encode_column(arr, "alp")
+    dec = decode_column(row)
+    assert dec.is_null().equals(arr.is_null())
+    assert np.array_equal(
+        arr.to_numpy(zero_copy_only=False).view(np.int64),
+        dec.to_numpy(zero_copy_only=False).view(np.int64),
+    )
+
+
 # ---- byte-shuffle zstd -------------------------------------------------
 
 

@@ -16,6 +16,7 @@ from .base import (  # noqa: F401
     type_from_bytes,
     type_to_bytes,
 )
+from .alp import AlpCodec
 from .dictionary import ConstantCodec, DictCodec
 from .fsst import Fsst2Codec, FsstCodec
 from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
@@ -33,3 +34,4 @@ register_codec(ConstantCodec())
 register_codec(FsstCodec())
 register_codec(FsstCodec(compress=True, name="fsst_zstd"))
 register_codec(Fsst2Codec())
+register_codec(AlpCodec())

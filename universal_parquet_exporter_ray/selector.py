@@ -64,6 +64,7 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
     elif pa.types.is_floating(t):
         if stats.avg_run_len >= 1.5:
             cands.append("rle")
+        cands.append("alp")
         cands.append("bshuf_zstd")
         cands.append("zstd")
     else:

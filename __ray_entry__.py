@@ -56,7 +56,8 @@ _COST_ORDER = [
     "text_quality", "rolling_window", "lag_gap", "sql_ingest",
     "sessionization", "filter_eq_notnull", "lang_centroids", "asof_join",
     "union_all", "rank_partitioned", "minmax_dates", "filter_like",
-    "encode_manifest", "sort_limit", "global_count_distinct", "cast_math",
+    "encode_manifest", "zonemap_pruned_read", "sort_limit",
+    "global_count_distinct", "cast_math",
     "distinct_rows", "multi_sort", "join_inner", "filter_gt", "window_agg",
     "having", "quality_by_lang", "count_distinct", "encode_lineitem_roundtrip",
     "group_agg", "curate_corpus", "decimal_roundtrip", "encode_roundtrip",

@@ -241,3 +241,73 @@ def test_decoded_dataset_projection_validation(tmp_path, ray_session):
 
     got = decoded_dataset(out, columns=["content"]).to_pandas()
     assert sorted(got["content"]) == sorted(f"body {i}" for i in range(12))
+
+
+# ---- zone maps (manifest min/max → partition-pruned decoded reads) -------
+
+
+def test_column_zonemaps_kinds():
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.encoder import (
+        ZONEMAP_STR_CAP,
+        column_zonemaps,
+    )
+
+    t = pa.table(
+        {
+            "i": pa.array([3, None, -7, 12]),
+            "f": pa.array([1.5, float("nan"), -2.0, None]),
+            "s": pa.array(["b", "a", "zz", None]),
+            "long": pa.array(["x" * 200, "a" * 200, "m", "n"]),
+            "ts": pa.array(
+                pd.to_datetime(["1997-01-01", "1998-06-02", "1997-05-05", "1997-06-06"])
+            ),
+            "bin": pa.array([b"a", b"b", b"c", b"d"], type=pa.binary()),
+            "allnull": pa.array([None] * 4, type=pa.int64()),
+        }
+    )
+    zm = column_zonemaps(t)
+    assert zm["i"] == {"kind": "num", "min": -7, "max": 12, "n_null": 1}
+    assert zm["f"]["min"] == -2.0 and zm["f"]["max"] == 1.5 and zm["f"]["has_nan"]
+    assert zm["s"] == {"kind": "str", "min": "a", "max": "zz", "n_null": 1}
+    assert zm["long"]["max_open"] and len(zm["long"]["max"]) == ZONEMAP_STR_CAP
+    assert zm["ts"]["kind"] == "temporal"
+    assert zm["ts"]["min"] == pd.Timestamp("1997-01-01").value
+    assert zm["ts"]["max"] == pd.Timestamp("1998-06-02").value
+    assert "bin" not in zm and "allnull" not in zm
+
+
+def test_zonemap_pruned_decode(ray_session, tmp_path):
+    import numpy as np
+
+    from universal_parquet_exporter_ray.pipelines.verify import zonemap_keep_pids
+
+    # 4 range-disjoint buckets on k
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "bucket": [str(i // 1000) for i in range(n)],
+            "k": np.arange(n, dtype=np.int64),
+            "content": [f"row {i}" for i in range(n)],
+        }
+    )
+    src = str(tmp_path / "zm_src.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = str(tmp_path / "zm_out")
+    encode_dataset(
+        src, out, partition_by="bucket", hash_cols=["k"], target_rows_per_partition=900
+    )
+    kept, total = zonemap_keep_pids(out, "k", ">=", 3000)
+    assert total >= 4 and 0 < len(kept) < total
+    dec = decoded_dataset(out, zone_filter=("k", ">=", 3000)).to_pandas()
+    got = dec[dec.k >= 3000].sort_values("k").reset_index(drop=True)
+    want = df[df.k >= 3000].reset_index(drop=True)
+    assert got.k.tolist() == want.k.tolist()
+    assert got.content.tolist() == want.content.tolist()
+    # an impossible predicate prunes everything and yields an empty dataset
+    empty = decoded_dataset(out, zone_filter=("k", ">", 10**9)).to_pandas()
+    assert len(empty) == 0
+    # equality prune keeps exactly the covering bucket
+    kept_eq, _ = zonemap_keep_pids(out, "k", "==", 1500)
+    assert len(kept_eq) >= 1 and len(kept_eq) < total

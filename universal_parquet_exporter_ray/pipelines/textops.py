@@ -1508,6 +1508,59 @@ def q_encode_manifest(sf_dir: str):
 
 
 @q(
+    "zonemap_pruned_read",
+    "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1997-06-01'",
+)
+def q_zonemap_pruned_read(sf_dir: str):
+    """Zone-map pruned decoded read: encode orders partitioned by order
+    YEAR (so each partition's o_orderdate zone map covers one year), then
+    answer a date-range scan by pruning partitions from the manifest zone
+    maps BEFORE any payload read, decoding only the survivors, and applying
+    the exact residual predicate. At 100 TB this is the read path that
+    turns a full-corpus decode into a key-range one (the 1000× analogue:
+    time/key-partitioned output + manifest zone maps = only the matching
+    partitions' bytes ever leave storage)."""
+    from .encode import encode_dataset
+    from .verify import decoded_dataset, zonemap_keep_pids
+
+    out = tempfile.mkdtemp(prefix="upxr_zm_")
+    ds = load_table(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    # target below the per-year row count so the small-key bin-packer never
+    # merges two years into one partition (merged years would widen the
+    # partition's date zone map and defeat pruning); orders span ~7 years,
+    # so total/10 keeps every year key standalone at any sf (count() here is
+    # a parquet-metadata read, not a data scan)
+    target = max(50, ds.count() // 10)
+
+    def with_year(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "o_year", pc.cast(pc.year(t["o_orderdate"]), pa.string())
+        )
+
+    encode_dataset(
+        ds.map_batches(with_year, batch_format="pyarrow", zero_copy_batch=True),
+        out,
+        partition_by="o_year",
+        hash_cols=["o_orderkey"],
+        target_rows_per_partition=target,
+    )
+    cutoff = "1997-06-01"
+    kept, total = zonemap_keep_pids(out, "o_orderdate", ">=", cutoff)
+    assert len(kept) < total, "zone maps failed to prune any partition"
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["o_orderdate"] >= pd.Timestamp(cutoff)
+        return df.loc[keep, ["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+    return decoded_dataset(
+        out, zone_filter=("o_orderdate", ">=", cutoff)
+    ).map_batches(residual, batch_format="pandas")
+
+
+@q(
     "decimal_roundtrip",
     "SELECT l_orderkey, l_linenumber, "
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents "

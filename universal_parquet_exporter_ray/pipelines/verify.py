@@ -102,8 +102,57 @@ def dataset_fingerprints(
     return _reduce_fingerprints(partials)
 
 
+def zonemap_keep_pids(
+    out_dir: str, column: str, op: str, value
+) -> tuple[set, int]:
+    """Partition pruning from the manifest's zone maps: return the set of
+    partition ids that COULD contain rows matching ``column <op> value``
+    (plus the total partition count, for observability/tests).
+
+    Sound, never complete: a partition without a zone map for the column
+    (unsupported type, all-null, pre-zonemap output) is always kept; the
+    caller still applies the exact predicate after decode. NaN floats were
+    excluded from the recorded bounds — under IEEE semantics NaN never
+    satisfies a range predicate, so skipping a partition whose only
+    "matching" rows would be NaN is correct."""
+    man = read_manifest(out_dir)
+    pids = man["partition_id"].to_pylist()
+    total = len(pids)
+    if "zonemaps" not in man.column_names:
+        return set(pids), total
+    keep: set = set()
+    for pid, zj in zip(pids, man["zonemaps"].to_pylist()):
+        zm = json.loads(zj).get(column) if zj else None
+        if zm is None:
+            keep.add(pid)
+            continue
+        lo, hi = zm["min"], zm["max"]
+        if zm.get("kind") == "temporal":
+            v = int(pd.Timestamp(value).value)
+        else:
+            v = value
+        max_open = bool(zm.get("max_open"))
+        if op in (">", "gt"):
+            ok = max_open or hi > v
+        elif op in (">=", "ge"):
+            ok = max_open or hi >= v
+        elif op in ("<", "lt"):
+            ok = lo < v
+        elif op in ("<=", "le"):
+            ok = lo <= v
+        elif op in ("==", "eq"):
+            ok = lo <= v and (max_open or v <= hi)
+        else:
+            raise ValueError(f"zonemap_keep_pids: unknown op {op!r}")
+        if ok:
+            keep.add(pid)
+    return keep, total
+
+
 def decoded_dataset(
-    out_dir: str, columns: Optional[list[str]] = None
+    out_dir: str,
+    columns: Optional[list[str]] = None,
+    zone_filter: Optional[tuple] = None,
 ) -> "ray.data.Dataset":
     """Stream-decode the encoded output back into row form.
 
@@ -117,7 +166,13 @@ def decoded_dataset(
     blob row per column, so projection pushdown skips the other columns'
     payload bytes entirely (the columnar-format payoff): the pruned rows'
     ``payload`` bytes are never materialized thanks to parquet row filtering
-    at the read."""
+    at the read.
+
+    ``zone_filter``: ``(column, op, value)`` with op in >,>=,<,<=,== — prune
+    whole partitions via the manifest zone maps BEFORE any payload read (at
+    100 TB this is the difference between scanning every partition and
+    reading only the key range's). Pruning is sound-not-complete: the caller
+    must still apply the exact predicate to the decoded rows."""
     import glob
     import os
 
@@ -136,6 +191,16 @@ def decoded_dataset(
             f"decoded_dataset: no encoded partitions under {out_dir!r} "
             "(missing, incomplete, or corrupt output directory)"
         )
+    if zone_filter is not None:
+        zcol, zop, zval = zone_filter
+        keep, _total = zonemap_keep_pids(out_dir, zcol, zop, zval)
+        files = [f for f in files if os.path.basename(os.path.dirname(f)) in keep]
+        if not files:
+            # predicate excludes every partition: empty dataset, typed when
+            # a projection gives us the schema, schemaless otherwise
+            import pandas as _pd
+
+            return ray.data.from_pandas(_pd.DataFrame())
     wanted = set(columns) if columns is not None else None
     empty_schema = None
     if wanted is not None:

@@ -57,9 +57,91 @@ MANIFEST_SCHEMA = pa.schema(
         ("ratio", pa.float64()),
         ("codecs", pa.string()),      # json: column -> codec name
         ("lineage", pa.string()),     # json: source + raw partition key
+        ("zonemaps", pa.string()),    # json: column -> {min,max,...} zone map
         ("wall_s", pa.float64()),
     ]
 )
+
+ZONEMAP_STR_CAP = 80  # truncate long string bounds (lower bound stays sound)
+
+
+def column_zonemaps(data: pa.Table) -> dict:
+    """Per-column min/max zone maps recorded in the manifest so decoded
+    reads can prune whole partitions before touching their payload bytes
+    (the classic columnar-engine zone-map / block-range-index pattern).
+
+    Soundness contract (what the pruner in ``pipelines/verify.py`` relies
+    on): a partition may be skipped ONLY if no row in it can satisfy the
+    predicate under IEEE/SQL comparison semantics. Therefore:
+    - NaN floats are excluded from the bounds (``flag: has_nan``) — IEEE
+      comparisons with NaN are always false, so such rows can never match
+      a range predicate anyway;
+    - temporal bounds are stored as epoch NANOSECONDS (exact ints), never
+      as formatted strings;
+    - a string max longer than ``ZONEMAP_STR_CAP`` is stored truncated with
+      ``max_open`` set — the pruner then treats the upper bound as +inf;
+      the truncated MIN needs no flag (a prefix is always <= the string).
+    Unsupported types (binary, nested) simply record no entry, which the
+    pruner treats as "could match"."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    zm: dict[str, dict] = {}
+    for name in data.column_names:
+        col = data[name]
+        t = col.type
+        n_null = col.null_count
+        if len(col) == n_null:
+            continue
+        entry: dict | None = None
+        try:
+            if pa.types.is_integer(t) or pa.types.is_boolean(t):
+                mm = pc.min_max(col)
+                entry = {
+                    "kind": "num",
+                    "min": mm["min"].as_py(),
+                    "max": mm["max"].as_py(),
+                }
+            elif pa.types.is_floating(t):
+                v = col.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+                finite = v[~np.isnan(v)]
+                if len(finite) == 0:
+                    continue
+                entry = {
+                    "kind": "num",
+                    "min": float(finite.min()),
+                    "max": float(finite.max()),
+                }
+                if len(finite) != len(v):
+                    entry["has_nan"] = True
+            elif (
+                pa.types.is_timestamp(t)
+                or pa.types.is_date(t)
+            ):
+                import pandas as pd
+
+                mm = pc.min_max(col)
+                entry = {
+                    "kind": "temporal",
+                    "min": int(pd.Timestamp(mm["min"].as_py()).value),
+                    "max": int(pd.Timestamp(mm["max"].as_py()).value),
+                }
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                entry = {"kind": "str", "min": lo[:ZONEMAP_STR_CAP]}
+                if len(hi) > ZONEMAP_STR_CAP:
+                    entry["max"] = hi[:ZONEMAP_STR_CAP]
+                    entry["max_open"] = True
+                else:
+                    entry["max"] = hi
+        except Exception:
+            entry = None  # never fail an encode over a statistics frill
+        if entry is not None:
+            if n_null:
+                entry["n_null"] = n_null
+            zm[name] = entry
+    return zm
 
 
 class PartitionEncoder:
@@ -168,6 +250,7 @@ class PartitionEncoder:
                 {**self.lineage, "raw_partition_key": raw_pid},
                 separators=(",", ":"),
             ),
+            "zonemaps": json.dumps(column_zonemaps(data), separators=(",", ":")),
             "wall_s": time.monotonic() - t0,
         }
         mtable = pa.Table.from_pylist([manifest_row], schema=MANIFEST_SCHEMA)

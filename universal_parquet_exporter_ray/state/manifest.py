@@ -66,4 +66,6 @@ def read_manifest(out_dir: str) -> pa.Table:
 
     with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
         tables = list(ex.map(pq.read_table, files))
-    return pa.concat_tables(tables)
+    # promote: resuming an output written before a manifest column existed
+    # (e.g. zonemaps) fills the missing column with nulls instead of failing
+    return pa.concat_tables(tables, promote_options="default")

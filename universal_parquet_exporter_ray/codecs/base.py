@@ -83,13 +83,18 @@ def unpack_blobs(buf: bytes) -> dict[str, bytes]:
 # --------------------------------------------------------------------------
 
 
-def ipc_serialize(arr: pa.Array) -> bytes:
-    """Serialize a single array via Arrow IPC stream (lossless, any type)."""
+def ipc_serialize_buffer(arr: pa.Array) -> pa.Buffer:
+    """Serialize a single array via Arrow IPC stream → zero-copy Buffer."""
     rb = pa.record_batch([arr], names=["c"])
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, rb.schema) as w:
         w.write_batch(rb)
-    return sink.getvalue().to_pybytes()
+    return sink.getvalue()
+
+
+def ipc_serialize(arr: pa.Array) -> bytes:
+    """Serialize a single array via Arrow IPC stream (lossless, any type)."""
+    return ipc_serialize_buffer(arr).to_pybytes()
 
 
 def ipc_deserialize(buf: bytes) -> pa.Array:

@@ -44,8 +44,14 @@ TRAIN_SAMPLE_BYTES = 16 * 1024  # paper trains on small samples; 16 KiB keeps
 TRAIN_ITERATIONS = 3            # per-partition training cost ~0.1 s
 
 
-def _string_buffer(arr: pa.Array) -> tuple[bytes, np.ndarray]:
-    """(concatenated utf8/bytes buffer, int64 offsets starting at 0)."""
+def _string_buffer(arr: pa.Array) -> tuple["memoryview | bytes", np.ndarray]:
+    """(concatenated utf8/bytes buffer VIEW, int64 offsets starting at 0).
+
+    The buffer is a zero-copy ``memoryview`` over the Arrow data buffer —
+    ``re`` and ``np.frombuffer`` both accept it — so encoding a column never
+    duplicates its payload (the former two copies per chunk, ``to_pybytes``
+    + the slice, dominated the encode's fresh-page demand; on hosts where a
+    page fault is expensive that demand IS the scaling bottleneck)."""
     arr = combine(arr)
     t = arr.type
     if len(arr) == 0:
@@ -59,7 +65,11 @@ def _string_buffer(arr: pa.Array) -> tuple[bytes, np.ndarray]:
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data_buf = buffers[2]
-    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
+    data = (
+        memoryview(data_buf)[int(offsets[0]) : int(offsets[-1])]
+        if data_buf is not None
+        else b""
+    )
     return data, offsets - offsets[0]
 
 
@@ -197,13 +207,22 @@ def train_pair_table(sample: bytes) -> list[bytes]:
     return [s for s, g in ranked if g > len(s)]
 
 
-def _encode_pairs(data: bytes, symbols: list[bytes]) -> bytes:
+PAIRS_CHUNK = 2 * 1024 * 1024  # bound the vectorized encoder's working set
+
+
+def _encode_pairs(data, symbols: list[bytes]) -> bytes:
     """Exact-greedy vectorized encoder for a pairs-only table: identical
     semantics to the leftmost-longest regex tokenizer when every symbol has
-    length ≤ 2, but pure numpy. Decoding uses the generic FSST decoder."""
-    d = np.frombuffer(data, dtype=np.uint8)
-    n = len(d)
-    if n == 0:
+    length ≤ 2, but pure numpy. Decoding uses the generic FSST decoder.
+
+    Processes the buffer in ``PAIRS_CHUNK`` windows: the ~10 int32/bool
+    temporaries then total ≈ 10×chunk instead of 10×column, so a worker's
+    scratch stays small and is reused from the (untrimmed, see
+    ``_tune_allocator``) heap call after call instead of being re-faulted.
+    A pair split at a window boundary encodes as two singles — tokenization
+    changes, decoded bytes never do (same argument as ``ENCODE_CHUNK``)."""
+    full = np.frombuffer(data, dtype=np.uint8)
+    if len(full) == 0:
         return b""
     P = np.full(65536, -1, dtype=np.int16)
     S = np.full(256, -1, dtype=np.int16)
@@ -212,40 +231,45 @@ def _encode_pairs(data: bytes, symbols: list[bytes]) -> bytes:
             P[s[0] * 256 + s[1]] = code
         elif len(s) == 1:
             S[s[0]] = code
-    if n >= 2:
-        pair_code = P[d[:-1].astype(np.int32) * 256 + d[1:]]
-        can = pair_code >= 0
-        # greedy scan = even offsets within each maximal run of pairable
-        # positions (arrival at a run start is always exact: the position
-        # before it cannot start a pair)
-        idx = np.arange(n - 1, dtype=np.int64)
-        run_start = can & np.concatenate([[True], ~can[:-1]])
-        last = np.maximum.accumulate(np.where(run_start, idx, -1))
-        take = can & ((idx - last) % 2 == 0)
-        take_pos = np.flatnonzero(take)
-    else:
-        pair_code = np.zeros(0, dtype=np.int16)
-        take_pos = np.zeros(0, dtype=np.int64)
-    covered = np.zeros(n, dtype=bool)
-    covered[take_pos] = True
-    covered[take_pos + 1] = True
-    single_mask = ~covered
-    scode = S[d]
-    esc_mask = single_mask & (scode < 0)
-    sing_mask = single_mask & (scode >= 0)
-    lens = np.zeros(n, dtype=np.int64)
-    lens[take_pos] = 1
-    lens[sing_mask] = 1
-    lens[esc_mask] = 2
-    out_off = np.cumsum(lens) - lens
-    out = np.empty(int(lens.sum()), dtype=np.uint8)
-    out[out_off[take_pos]] = pair_code[take_pos].astype(np.uint8)
-    sp = np.flatnonzero(sing_mask)
-    out[out_off[sp]] = scode[sp].astype(np.uint8)
-    ep = np.flatnonzero(esc_mask)
-    out[out_off[ep]] = ESCAPE
-    out[out_off[ep] + 1] = d[ep]
-    return out.tobytes()
+    parts = []
+    for lo in range(0, len(full), PAIRS_CHUNK):
+        d = full[lo : lo + PAIRS_CHUNK]
+        n = len(d)
+        if n >= 2:
+            pair_code = P[d[:-1].astype(np.int32) * 256 + d[1:]]
+            can = pair_code >= 0
+            # greedy scan = even offsets within each maximal run of pairable
+            # positions (arrival at a run start is always exact: the position
+            # before it cannot start a pair)
+            idx = np.arange(n - 1, dtype=np.int32)
+            run_start = can & np.concatenate([[True], ~can[:-1]])
+            last = np.maximum.accumulate(np.where(run_start, idx, np.int32(-1)))
+            take = can & ((idx - last) % 2 == 0)
+            take_pos = np.flatnonzero(take)
+        else:
+            pair_code = np.zeros(0, dtype=np.int16)
+            take_pos = np.zeros(0, dtype=np.int64)
+        covered = np.zeros(n, dtype=bool)
+        covered[take_pos] = True
+        covered[take_pos + 1] = True
+        single_mask = ~covered
+        scode = S[d]
+        esc_mask = single_mask & (scode < 0)
+        sing_mask = single_mask & (scode >= 0)
+        lens = np.zeros(n, dtype=np.int32)
+        lens[take_pos] = 1
+        lens[sing_mask] = 1
+        lens[esc_mask] = 2
+        out_off = np.cumsum(lens, dtype=np.int32) - lens
+        out = np.empty(int(lens.sum()), dtype=np.uint8)
+        out[out_off[take_pos]] = pair_code[take_pos].astype(np.uint8)
+        sp = np.flatnonzero(sing_mask)
+        out[out_off[sp]] = scode[sp].astype(np.uint8)
+        ep = np.flatnonzero(esc_mask)
+        out[out_off[ep]] = ESCAPE
+        out[out_off[ep] + 1] = d[ep]
+        parts.append(out.tobytes())
+    return b"".join(parts) if len(parts) > 1 else parts[0]
 
 
 class FsstCodec(Codec):

@@ -10,7 +10,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-from .base import Codec, Encoded, ipc_deserialize, ipc_serialize
+from .base import Codec, Encoded, ipc_deserialize, ipc_serialize, ipc_serialize_buffer
 
 
 class PlainCodec(Codec):
@@ -26,8 +26,14 @@ class PlainCodec(Codec):
 
 
 class ZstdCodec(Codec):
-    """zstd over the IPC bytes. The workhorse for high-entropy payloads
-    (e.g. 40-hex commit ids, source text where FSST loses)."""
+    """zstd over the column payload. The workhorse for high-entropy data
+    (e.g. 40-hex commit ids, source text where FSST loses).
+
+    String-like null-free arrays take a zero-copy fast path: compress the
+    Arrow data buffer directly and forpack the row lengths — the generic
+    path's IPC serialization duplicated the whole column (a full extra
+    fresh-page working set per chunk) just to frame offsets zstd cannot
+    compress any better. Everything else goes through lossless IPC."""
 
     name = "zstd"
 
@@ -35,13 +41,46 @@ class ZstdCodec(Codec):
         self.level = level
 
     def encode(self, arr: pa.Array, state: Any = None) -> Encoded:
-        raw = ipc_serialize(arr)
+        from .base import is_string_like, pack_blobs
+
         codec = pa.Codec("zstd", compression_level=self.level)
+        if is_string_like(arr.type) and arr.null_count == 0:
+            from .fsst import _string_buffer
+            from .base import get_codec
+
+            data, offsets = _string_buffer(arr)
+            comp = codec.compress(data, asbytes=True)
+            len_enc = get_codec("forpack").encode(pa.array(np.diff(offsets)))
+            payload = pack_blobs({"data": comp, "lens": len_enc.payload})
+            meta = {
+                "sb": True,
+                "raw_size": len(data),
+                "len_meta": len_enc.meta,
+            }
+            return Encoded(self.name, payload, meta, len(arr))
+        raw = ipc_serialize_buffer(arr)
         comp = codec.compress(raw, asbytes=True)
-        return Encoded(self.name, comp, {"raw_size": len(raw)}, len(arr))
+        return Encoded(self.name, comp, {"raw_size": raw.size}, len(arr))
 
     def decode(self, enc: Encoded, dtype: pa.DataType) -> pa.Array:
         codec = pa.Codec("zstd")
+        if enc.meta.get("sb"):
+            from .base import get_codec, unpack_blobs
+            from .fsst import _strings_from_buffer
+
+            blobs = unpack_blobs(enc.payload)
+            data = codec.decompress(
+                blobs["data"], int(enc.meta["raw_size"]), asbytes=True
+            )
+            len_enc = Encoded(
+                "forpack", blobs["lens"], enc.meta["len_meta"], enc.n_rows
+            )
+            lengths = (
+                get_codec("forpack")
+                .decode(len_enc, pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            return _strings_from_buffer(data, lengths, dtype)
         raw = codec.decompress(enc.payload, int(enc.meta["raw_size"]), asbytes=True)
         return ipc_deserialize(raw)
 

@@ -144,6 +144,22 @@ def column_zonemaps(data: pa.Table) -> dict:
     return zm
 
 
+def _rusage_delta(ru0) -> dict:
+    """CPU/fault counters since ``ru0`` — separates real compute (utime)
+    from allocator/paging stalls (minflt, majflt) and scheduler pressure
+    (nivcsw) when a scaling run's worker-seconds inflate."""
+    import resource
+
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
+    return {
+        "utime": round(ru1.ru_utime - ru0.ru_utime, 3),
+        "stime": round(ru1.ru_stime - ru0.ru_stime, 3),
+        "minflt": ru1.ru_minflt - ru0.ru_minflt,
+        "majflt": ru1.ru_majflt - ru0.ru_majflt,
+        "nivcsw": ru1.ru_nivcsw - ru0.ru_nivcsw,
+    }
+
+
 class PartitionEncoder:
     """Encode one partition group → write ``parts/<pid>/data.parquet`` +
     ``manifest/<pid>.parquet`` atomically → emit the manifest row."""
@@ -190,12 +206,19 @@ class PartitionEncoder:
         """Encode one partition table (no PART_COL) → write data + manifest
         atomically → return the manifest row."""
         t0 = time.monotonic()
+        import resource
+
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
         pid = sanitize_partition_id(raw_pid)
         rows = []
         codec_map: dict[str, str] = {}
+        phase = {"select": 0.0, "encode": 0.0}
         for name in data.column_names:
             arr = data[name].combine_chunks()
+            tp = time.monotonic()
             choice, fresh = self._select(name, arr)
+            phase["select"] += time.monotonic() - tp
+            tp = time.monotonic()
             # cache only full-FSST tables: fsst2's pairs-only table would
             # degrade later fsst/fsst_zstd trials if fed back as their state
             if choice.codec in ("fsst", "fsst_zstd") and isinstance(choice.state, list):
@@ -234,8 +257,18 @@ class PartitionEncoder:
             row["column"] = name
             codec_map[name] = row["codec"]
             rows.append(row)
+            dt = time.monotonic() - tp
+            phase["encode"] += dt
+            ck = f"enc_{row['codec']}"
+            phase[ck] = phase.get(ck, 0.0) + dt
+        tp = time.monotonic()
         enc_table = pa.Table.from_pylist(rows, schema=ENCODED_SCHEMA)
-        write_atomic_parquet(enc_table, os.path.join(parts_path(self.out_dir), pid, "data.parquet"))
+        write_atomic_parquet(
+            enc_table,
+            os.path.join(parts_path(self.out_dir), pid, "data.parquet"),
+            raw_columns=("payload",),
+        )
+        phase["write"] = time.monotonic() - tp
         input_bytes = sum(r["input_bytes"] for r in rows)
         encoded_bytes = sum(r["encoded_bytes"] for r in rows)
         manifest_row = {
@@ -247,7 +280,14 @@ class PartitionEncoder:
             "ratio": encoded_bytes / max(1, input_bytes),
             "codecs": json.dumps(codec_map, separators=(",", ":")),
             "lineage": json.dumps(
-                {**self.lineage, "raw_partition_key": raw_pid},
+                {
+                    **self.lineage,
+                    "raw_partition_key": raw_pid,
+                    # per-phase seconds: cheap diagnostics for scaling-run
+                    # decomposition (which phase inflates under contention)
+                    "phase_s": {k: round(v, 3) for k, v in phase.items()},
+                    "ru": _rusage_delta(ru0),
+                },
                 separators=(",", ":"),
             ),
             "zonemaps": json.dumps(column_zonemaps(data), separators=(",", ":")),

@@ -52,15 +52,29 @@ ACK_SCHEMA = pa.schema(
 )
 
 
-def _ipc_table_bytes(table: pa.Table, compression: str | None = None) -> bytes:
-    """Plain IPC by default: the exchange tier here is /dev/shm (memory), so
-    compressing only adds CPU. On a real cluster with network/disk shuffle
-    storage, pass compression="lz4" to trade scalable CPU for bandwidth."""
+EXCHANGE_COMPRESSION = os.environ.get("UPXR_EXCHANGE_COMPRESSION", "lz4")
+
+
+def _ipc_table_buffer(table: pa.Table, compression: str | None = "default") -> pa.Buffer:
+    """IPC-serialize one spill chunk, lz4-frame-compressed by default.
+
+    Exchange bytes are shuffle bytes: on a real cluster they cross the
+    network and land on disk, and even on the single-box /dev/shm tier the
+    dominant cost under memory pressure is allocating the pages themselves
+    — lz4 cuts both ~2-3× on text-heavy tables for a few hundred MB/s/core
+    of scalable CPU. Arrow IPC body compression is self-describing, so the
+    reader needs no flag. ``UPXR_EXCHANGE_COMPRESSION`` overrides ("lz4",
+    "zstd", or "none")."""
+    if compression == "default":
+        compression = EXCHANGE_COMPRESSION
+    if compression in (None, "none", ""):
+        opts = pa.ipc.IpcWriteOptions()
+    else:
+        opts = pa.ipc.IpcWriteOptions(compression=compression)
     sink = pa.BufferOutputStream()
-    opts = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
         w.write_table(table)
-    return sink.getvalue().to_pybytes()
+    return sink.getvalue()
 
 
 def read_ipc_table(path: str) -> pa.Table:
@@ -95,7 +109,7 @@ class SpillPartitions:
             raw_pid = str(labels[sorted_codes[s]])
             pid = sanitize_partition_id(raw_pid)
             sl = data.slice(int(s), int(e - s))
-            buf = _ipc_table_bytes(sl)
+            buf = _ipc_table_buffer(sl)
             d = os.path.join(self.exchange_dir, pid)
             os.makedirs(d, exist_ok=True)
             # unique name per written chunk: identical-content slices from

@@ -39,13 +39,26 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
-def write_atomic_parquet(table: pa.Table, final_path: str) -> None:
+def write_atomic_parquet(
+    table: pa.Table, final_path: str, raw_columns: tuple = ()
+) -> None:
     """Write to a temp name in the same directory, then atomic rename.
-    Deterministic temp name (pid-based) keeps retries idempotent."""
+    Deterministic temp name (pid-based) keeps retries idempotent.
+
+    ``raw_columns`` are stored uncompressed — the encoder passes its
+    ``payload`` column here, whose blobs are already codec-compressed:
+    re-zstd'ing them gained ~0 bytes while costing a full extra
+    compress+buffer per partition in the hot write path."""
     d = os.path.dirname(final_path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{os.getpid()}-{os.path.basename(final_path)}")
-    pq.write_table(table, tmp, compression="zstd")
+    if raw_columns:
+        compression = {
+            c: ("none" if c in raw_columns else "zstd") for c in table.column_names
+        }
+    else:
+        compression = "zstd"
+    pq.write_table(table, tmp, compression=compression)
     os.replace(tmp, final_path)
 
 

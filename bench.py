@@ -252,6 +252,24 @@ def run_encode_only() -> dict:
         "partitions": len(manifest),
         "encode_worker_s": round(float(manifest.wall_s.sum()), 1),
     }
+    # decompose worker-seconds into real compute (utime) vs kernel paging /
+    # allocator stalls (stime, minflt) from the per-partition rusage deltas
+    # recorded in the manifest lineage: on a memory-pressured hypervisor the
+    # stime term inflates by 10-100x while utime stays ~constant, and that
+    # split is what separates the ENGINE's scaling from the host's.
+    try:
+        import json as _json
+
+        ru_sums: dict[str, float] = {}
+        for lj in manifest.lineage:
+            for k, v in _json.loads(lj).get("ru", {}).items():
+                ru_sums[k] = ru_sums.get(k, 0.0) + v
+        if ru_sums:
+            result["encode_utime_s"] = round(ru_sums.get("utime", 0.0), 1)
+            result["encode_stime_s"] = round(ru_sums.get("stime", 0.0), 1)
+            result["encode_minflt"] = int(ru_sums.get("minflt", 0))
+    except Exception:
+        pass
     shutil.rmtree(out, ignore_errors=True)  # scaling output is transient
     ray.shutdown()
     return result
@@ -287,6 +305,38 @@ def _machine_scaling_ceiling(n_lo: int, n_hi: int) -> float:
         with mp.Pool(nproc) as p:
             rates[nproc] = sum(p.map(_zstd_calibration_work, range(nproc)))
     return round(rates[n_hi] / (rates[n_lo] * (n_hi / n_lo)), 3)
+
+
+def _fault_cost_work(_):
+    """First-touch cost of 32 MiB of fresh anonymous pages, in µs/page."""
+    import time as _t
+
+    import numpy as np
+
+    n = 32 * 1024 * 1024
+    t0 = _t.perf_counter()
+    a = np.empty(n, dtype=np.uint8)
+    a[::4096] = 1
+    dt = _t.perf_counter() - t0
+    del a
+    return dt / (n / 4096) * 1e6
+
+
+def _machine_fault_us(n_lo: int, n_hi: int) -> dict:
+    """Calibrate THIS box's page-fault latency at both concurrency levels.
+    On a healthy host this is ~1-3 µs/page and concurrency-independent; on
+    an overcommitted hypervisor it reaches 100-700 µs and grows with
+    concurrent faulting — which then dominates any allocation-heavy job's
+    wall time regardless of engine design. Reported so the scaling artifact
+    records the host's state alongside the engine's numbers."""
+    import multiprocessing as mp
+
+    out = {}
+    for nproc in (n_lo, n_hi):
+        with mp.Pool(nproc) as p:
+            costs = sorted(p.map(_fault_cost_work, range(nproc)))
+        out[f"fault_us_per_page_{nproc}"] = round(costs[len(costs) // 2], 1)
+    return out
 
 
 def run_scaling() -> dict:
@@ -347,9 +397,14 @@ def run_scaling() -> dict:
         f"sec_all_{n_lo}": all_secs[n_lo],
         f"sec_all_{n_hi}": all_secs[n_hi],
         "machine_ceiling_pure_c": _machine_scaling_ceiling(n_lo, n_hi),
+        **_machine_fault_us(n_lo, n_hi),
         "compression_ratio": results[n_hi]["compression_ratio"],
         f"encode_worker_s_{n_lo}": results[n_lo].get("encode_worker_s"),
         f"encode_worker_s_{n_hi}": results[n_hi].get("encode_worker_s"),
+        f"encode_utime_s_{n_lo}": results[n_lo].get("encode_utime_s"),
+        f"encode_utime_s_{n_hi}": results[n_hi].get("encode_utime_s"),
+        f"encode_stime_s_{n_lo}": results[n_lo].get("encode_stime_s"),
+        f"encode_stime_s_{n_hi}": results[n_hi].get("encode_stime_s"),
     }
 
 

@@ -782,6 +782,51 @@ def q_sequence_pack(sf_dir: str, seq_len: int = 512):
     return pre.map_batches(finish, batch_format="pandas")
 
 
+SHUFFLE_ORDER_ORACLE_SQL = """
+SELECT doc_id,
+       rank() OVER (
+         ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR))
+       ) AS pos
+FROM documents
+"""
+
+
+@q("shuffle_order", SHUFFLE_ORDER_ORACLE_SQL)
+def q_shuffle_order(sf_dir: str):
+    """Deterministic training-order shuffle: every doc gets a global
+    position drawn by keyed hash — the reproducible, resumable alternative
+    to ``random_shuffle`` for epoch ordering at corpus scale (same order on
+    every rerun, stable under retries, no seed state to ship). A loader
+    materializes epoch order by range-reading positions.
+
+    Plan: per-row md5-low64 (the md5_number_upper cross-engine contract),
+    then the distributed-rank machinery over the hash — bounded splitter
+    sample + exact O(K) range offsets; no global sort materialization, no
+    corpus-sized driver state (``stages/rank.py``)."""
+    import hashlib as _hl
+
+    from ..stages.rank import distributed_rank
+
+    ds = load_table(sf_dir, "documents", ["doc_id"])
+
+    def keyhash(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.md5(str(i).encode("ascii")).digest()[:8], "little"
+                )
+                for i in df["doc_id"]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": h})
+
+    hashed = ds.map_batches(keyhash, batch_format="pandas")
+    ranked = distributed_rank(hashed, "h", "pos", descending=False)
+    return ranked.select_columns(["doc_id", "pos"])
+
+
 SEGDEDUP_ORACLE_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents

@@ -63,10 +63,11 @@ _COST_ORDER = [
     "group_agg", "curate_corpus", "decimal_roundtrip", "encode_roundtrip",
     "case_bucket", "datediff", "media_frame_sample", "dedup_exact",
     "json_extract_agg", "media_resize", "percent_rank", "head_preview",
+    "shuffle_order", "sequence_pack",
     "semi_distinct", "join_left_coalesce", "rank_global", "stratified_sample",
     "top_terms_by_lang", "quantiles", "multimodal_features", "cte_share",
     "simhash64", "anti_join", "lang_id", "contamination_scan", "fingerprint",
-    "embedding_near_dup",
+    "redact_pii", "segment_dedup", "embedding_near_dup",
     "ann_ivf_fullprobe", "ann_topk", "ann_ivf_topk", "ann_ivf_pruned",
     "ann_ivf_pruned_fullprobe", "pivot_events",
     "join_multiway", "projection", "join_compound", "ngram_jaccard_pairs",

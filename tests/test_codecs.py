@@ -433,3 +433,46 @@ def test_rle_nan_runs_bit_identical():
     src_bits = arr.to_numpy(zero_copy_only=False).view(np.int64)
     dec_bits = dec.to_numpy(zero_copy_only=False).view(np.int64)
     assert np.array_equal(src_bits, dec_bits)
+
+
+# ---- zero-copy buffer paths (sliced arrays, offset buffers) -------------
+
+
+def test_string_codecs_on_sliced_arrays():
+    """_string_buffer returns a zero-copy view; a slice with a non-zero
+    array offset must window the data buffer correctly for every
+    string codec path (fsst trie, fsst2 pairs, zstd string fast path)."""
+    base = pa.array(
+        ["row-%06d %s" % (i, "lorem ipsum dolor " * (i % 7)) for i in range(3000)]
+    )
+    for codec in ("fsst", "fsst2", "fsst_zstd", "zstd", "plain"):
+        for sl in (base.slice(17, 2500), base.slice(0, 1), base.slice(2999, 1)):
+            row = encode_column(sl, codec)
+            assert decode_column(row).equals(sl), (codec, sl.offset)
+
+
+def test_zstd_string_fast_path_and_generic():
+    # null-free strings take the string-buffer fast path...
+    arr = pa.array(["alpha", "", "beta" * 50] * 400)
+    row = roundtrip(arr, "zstd")
+    # ...nulls and non-string types take the generic IPC path
+    roundtrip(pa.array(["a", None, "b"] * 200), "zstd")
+    roundtrip(pa.array(np.arange(1000, dtype=np.int64)), "zstd")
+    # large_string exercises the int64-offset branch of the fast path
+    roundtrip(pa.array(["xy" * 100] * 500, type=pa.large_string()), "zstd")
+
+
+def test_fsst2_chunk_boundary_escapes():
+    """Chunked pairs encoding: 0xFF-heavy binary data stresses the
+    escape-run invariant across PAIRS_CHUNK boundaries."""
+    from universal_parquet_exporter_ray.codecs import fsst as fsst_mod
+
+    old = fsst_mod.PAIRS_CHUNK
+    fsst_mod.PAIRS_CHUNK = 64  # force many tiny chunks
+    try:
+        payload = (b"\xff" * 7 + b"ab" * 40 + b"\xff") * 300
+        arr = pa.array([payload[i : i + 37] for i in range(0, len(payload), 37)],
+                       type=pa.binary())
+        roundtrip(arr, "fsst2")
+    finally:
+        fsst_mod.PAIRS_CHUNK = old

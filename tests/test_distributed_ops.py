@@ -639,3 +639,18 @@ def test_thresholded_join_both_plans_agree(ray_session):
         hashed = run(0, how)
         assert list(bcast.columns) == list(hashed.columns)
         pd.testing.assert_frame_equal(bcast, hashed, check_dtype=False)
+
+
+def test_shuffle_order_is_deterministic_permutation(ray_session):
+    """The training-order shuffle assigns every doc a unique 1..n position
+    (md5 keyed hash → distributed rank), identically across reruns, and
+    uint64 hash order is preserved exactly through the rank machinery."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["shuffle_order"](sf).to_pandas().sort_values("doc_id")
+    b = QUERIES["shuffle_order"](sf).to_pandas().sort_values("doc_id")
+    n = len(a)
+    assert n > 0
+    assert sorted(a["pos"].tolist()) == list(range(1, n + 1))
+    assert a["pos"].tolist() == b["pos"].tolist()

@@ -252,6 +252,10 @@ def run_encode_only() -> dict:
         "partitions": len(manifest),
         "encode_worker_s": round(float(manifest.wall_s.sum()), 1),
     }
+    from universal_parquet_exporter_ray.pipelines import encode as _enc_mod
+
+    if getattr(_enc_mod, "LAST_PHASES", None):
+        result["phases"] = dict(_enc_mod.LAST_PHASES)
     # decompose worker-seconds into real compute (utime) vs kernel paging /
     # allocator stalls (stime, minflt) from the per-partition rusage deltas
     # recorded in the manifest lineage: on a memory-pressured hypervisor the
@@ -405,6 +409,8 @@ def run_scaling() -> dict:
         f"encode_utime_s_{n_hi}": results[n_hi].get("encode_utime_s"),
         f"encode_stime_s_{n_lo}": results[n_lo].get("encode_stime_s"),
         f"encode_stime_s_{n_hi}": results[n_hi].get("encode_stime_s"),
+        f"phases_{n_lo}": results[n_lo].get("phases"),
+        f"phases_{n_hi}": results[n_hi].get("phases"),
     }
 
 

@@ -117,6 +117,12 @@ def make_assigner(
     return assign
 
 
+# wall seconds per driver-side phase of the MOST RECENT encode_dataset call
+# (schema / assign_plan / spill / encode_wave) — read by bench.py to split
+# a scaling leg into its stages; diagnostics only, cleared per call.
+LAST_PHASES: dict[str, float] = {}
+
+
 def encode_dataset(
     source: DatasetLike,
     out_dir: str,
@@ -152,13 +158,15 @@ def encode_dataset(
 
     _timing = os.environ.get("UPXR_PHASE_TIMING") == "1"
     _t0 = _time.perf_counter()
+    LAST_PHASES.clear()
 
     def _mark(phase: str):
         nonlocal _t0
+        now = _time.perf_counter()
+        LAST_PHASES[phase] = round(now - _t0, 2)
         if _timing:
-            now = _time.perf_counter()
             print(f"[upxr-phase] {phase}: {now - _t0:.2f}s", flush=True)
-            _t0 = now
+        _t0 = now
 
     tune_for_cluster()
     ds = _to_dataset(source)

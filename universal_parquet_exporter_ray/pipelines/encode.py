@@ -288,21 +288,26 @@ def encode_dataset(
             sizes = [int(pid_bytes[p]) for p in pids]
             order = sorted(range(len(pids)), key=lambda i: -sizes[i])
             slots = max(pool, int(ray.cluster_resources().get("CPU", pool)))
-            n_bins = max(1, min(slots * 6, len(pids)))
+            n_bins = max(1, min(slots * 12, len(pids)))
             bins: list[list[str]] = [[] for _ in range(n_bins)]
             loads = [0] * n_bins
             for i in order:
                 j = loads.index(min(loads))
                 bins[j].append(pids[i])
                 loads[j] += sizes[i]
+            # dispatch heaviest bins first: Ray schedules blocks in order,
+            # and a big bin starting last is exactly the straggler the
+            # balancing exists to avoid (measured ~30% wave tail when the
+            # largest partitions landed at the end of the queue)
+            heavy_first = sorted(range(n_bins), key=lambda j: -loads[j])
             items = [
                 {
-                    "pids": b,
-                    "raws": [pid_raw[p] for p in b],
-                    "files": [list(pid_files[p]) for p in b],
+                    "pids": bins[j],
+                    "raws": [pid_raw[p] for p in bins[j]],
+                    "files": [list(pid_files[p]) for p in bins[j]],
                 }
-                for b in bins
-                if b
+                for j in heavy_first
+                if bins[j]
             ]
             import functools
             import json as _json

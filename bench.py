@@ -279,13 +279,17 @@ def run_encode_only() -> dict:
         import json as _json
 
         ru_sums: dict[str, float] = {}
+        read_s = 0.0
         for lj in manifest.lineage:
-            for k, v in _json.loads(lj).get("ru", {}).items():
+            d = _json.loads(lj)
+            for k, v in d.get("ru", {}).items():
                 ru_sums[k] = ru_sums.get(k, 0.0) + v
+            read_s += d.get("phase_s", {}).get("read", 0.0)
         if ru_sums:
             result["encode_utime_s"] = round(ru_sums.get("utime", 0.0), 1)
             result["encode_stime_s"] = round(ru_sums.get("stime", 0.0), 1)
             result["encode_minflt"] = int(ru_sums.get("minflt", 0))
+            result["encode_read_s"] = round(read_s, 1)
     except Exception:
         pass
     shutil.rmtree(out, ignore_errors=True)  # scaling output is transient

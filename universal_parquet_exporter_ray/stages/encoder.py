@@ -213,6 +213,10 @@ class PartitionEncoder:
         rows = []
         codec_map: dict[str, str] = {}
         phase = {"select": 0.0, "encode": 0.0}
+        read_s = getattr(self, "_read_s", None)
+        if read_s is not None:
+            phase["read"] = read_s
+            self._read_s = None
         for name in data.column_names:
             arr = data[name].combine_chunks()
             tp = time.monotonic()

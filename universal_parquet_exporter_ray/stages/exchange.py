@@ -146,12 +146,23 @@ class ExchangeEncoder(PartitionEncoder):
         self.exchange_dir = exchange_dir
 
     def __call__(self, batch) -> pa.Table:
+        import time as _time
+
         outs = []
         for row in batch.to_pylist():
             for pid, raw_pid, files in zip(row["pids"], row["raws"], row["files"]):
                 d = os.path.join(self.exchange_dir, pid)
+                t0 = _time.monotonic()
                 tables = [read_ipc_table(os.path.join(d, f)) for f in sorted(files)]
-                data = pa.concat_tables(tables).combine_chunks()
+                # no table-level combine_chunks: encode_partition combines
+                # per column anyway, and the table-level pass duplicated the
+                # whole partition once more (measured ~0.2 s/partition of
+                # pure memcpy at 16 workers)
+                data = pa.concat_tables(tables)
+                # surfaced as phase_s["read"] in the manifest lineage so
+                # scaling decompositions separate spill-read cost from
+                # encode compute (wall_s alone undercounts task busy time)
+                self._read_s = _time.monotonic() - t0
                 outs.append(self.encode_partition(data, raw_pid))
         return pa.concat_tables(outs)
 

@@ -53,7 +53,7 @@ def entry() -> Any:
 # the one irreducibly-heavy pipeline (minhash_lsh_pairs) last.
 _COST_ORDER = [
     "topk", "hash_split", "limit_offset", "token_count", "global_agg",
-    "text_quality", "rolling_window", "lag_gap", "sql_ingest",
+    "text_quality", "repetition_ratio", "rolling_window", "lag_gap", "sql_ingest",
     "sessionization", "filter_eq_notnull", "lang_centroids", "asof_join",
     "union_all", "rank_partitioned", "minmax_dates", "filter_like",
     "encode_manifest", "zonemap_pruned_read", "sort_limit",

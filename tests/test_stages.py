@@ -129,6 +129,37 @@ def test_quality_score_ppm():
     assert out.alpha_ppm.iloc[0] == 1_000_000
 
 
+def test_repetition_signals_known_values():
+    from universal_parquet_exporter_ray.stages.text import repetition_signals
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a a a",          # 3/4 dup tokens; bigrams: 'a a' x3 -> 2/3 dup
+                "w x y z",          # no repetition at all
+                "solo",             # single token: no bigrams -> 0 (COALESCE parity)
+                "   ",              # zero tokens: dropped on both sides
+            ],
+        }
+    )
+    out = repetition_signals(df).set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "dup_tok_ppm"] == 750_000
+    assert out.loc[1, "dup_bigram_ppm"] == 666_667
+    assert out.loc[1, "top_tok_chars_ppm"] == 1_000_000
+    assert out.loc[2, "dup_tok_ppm"] == 0
+    assert out.loc[2, "dup_bigram_ppm"] == 0
+    assert out.loc[3, "dup_bigram_ppm"] == 0
+    # top token of doc 2: all tokens 1 char, 4 total -> max share 250000
+    assert out.loc[2, "top_tok_chars_ppm"] == 250_000
+    # empty batch returns a typed empty frame
+    empty = repetition_signals(df.iloc[3:4])
+    assert len(empty) == 0 and list(empty.columns) == [
+        "doc_id", "dup_tok_ppm", "top_tok_chars_ppm", "dup_bigram_ppm",
+    ]
+
+
 def test_langid_picks_english():
     st = LangIdStage()
     df = pd.DataFrame(

@@ -29,6 +29,7 @@ from ..stages.text import (
     LangIdStage,
     RedactStage,
     quality_score,
+    repetition_signals,
     token_count,
 )
 
@@ -401,6 +402,53 @@ def q_text_quality(sf_dir: str):
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(quality_score, batch_format="pandas")
     return out
+
+
+_REPETITION_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tok, count(*) AS cnt, length(tok) AS len
+  FROM t GROUP BY doc_id, tok
+),
+uni AS (
+  SELECT doc_id,
+         sum(cnt) AS n_tok,
+         sum(cnt) - count(*) AS n_dup,
+         max(cnt * len) AS top_chars,
+         sum(cnt * len) AS tot_chars
+  FROM g GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+  FROM t
+),
+bg AS (
+  SELECT doc_id, count(*) AS n_bg, count(*) - count(DISTINCT bg2) AS n_dup_bg
+  FROM (SELECT doc_id, bg AS bg2 FROM b WHERE bg IS NOT NULL)
+  GROUP BY doc_id
+)
+SELECT uni.doc_id,
+  CAST(round(n_dup * 1000000.0 / n_tok) AS BIGINT) AS dup_tok_ppm,
+  CAST(round(top_chars * 1000000.0 / tot_chars) AS BIGINT) AS top_tok_chars_ppm,
+  CAST(round(coalesce(n_dup_bg * 1000000.0 / n_bg, 0)) AS BIGINT) AS dup_bigram_ppm
+FROM uni LEFT JOIN bg USING (doc_id)
+"""
+
+
+@q("repetition_ratio", _REPETITION_ORACLE_SQL)
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style within-doc repetition quality signals (duplicate-token,
+    top-token-chars, duplicate-bigram fractions). Pure per-batch map — each
+    doc is one row, so no shuffle at any corpus size; the complement of the
+    corpus-wide ``segment_dedup``."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_signals, batch_format="pandas")
 
 
 @q(

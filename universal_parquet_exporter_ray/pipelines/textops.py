@@ -693,6 +693,90 @@ def q_top_terms_by_lang(sf_dir: str, k: int = 5):
     return summed.groupby("lang").map_groups(final, batch_format="pandas")
 
 
+_UNIGRAM_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
+s AS (
+  SELECT t.doc_id, sum(ln(f.c / tot.n)) AS lp, count(*) AS n_tok
+  FROM t, f, tot WHERE t.tok = f.tok GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(round(-lp / n_tok * 1000.0) AS BIGINT) AS mean_nll_milli
+FROM s
+"""
+
+
+@q("unigram_logprob", _UNIGRAM_ORACLE_SQL)
+def q_unigram_logprob(sf_dir: str):
+    """Model-based quality scoring, the two-pass broadcast-model shape used
+    by perplexity corpus filters (e.g. CCNet, Wenzek et al. 2020): pass 1
+    TRAINS a unigram LM over the whole corpus (per-batch value_counts
+    combiner -> coarse-partition sum, rows bounded by vocabulary x P, never
+    corpus-sized); the tiny model is broadcast once via ``ray.put``; pass 2
+    scores every doc with mean negative log-likelihood in an actor-pool
+    stage whose __init__ materializes the log-prob table once per actor.
+    At 100 TB the vocabulary is bounded with a min-count cutoff (+ one OOV
+    bucket) before the broadcast — the model stays MB-sized regardless of
+    corpus size. Scores are milli-nats as int64 for exact oracle parity."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    P = 32
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+")
+        flat = pd.DataFrame(
+            {"tok": np.concatenate(toks.to_numpy()) if len(df) else []}
+        )
+        grp = flat.groupby("tok", sort=False).size().reset_index(name="n")
+        grp["tp"] = (
+            pd.util.hash_pandas_object(grp["tok"], index=False).to_numpy(np.uint64)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return grp
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tok", sort=False)["n"].sum().reset_index()
+
+    freqs = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("tp")
+        .map_groups(sum_partials, batch_format="pandas")
+        .to_pandas()  # vocab-sized model table, NOT corpus-sized
+    )
+    total = float(freqs["n"].sum())
+    logp = pd.Series(
+        np.log(freqs["n"].to_numpy(np.float64) / total),
+        index=freqs["tok"].to_numpy(),
+    )
+    model_ref = ray.put(logp)
+
+    class UnigramScoreStage:
+        def __init__(self):
+            self.logp = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.findall(r"\S+")
+            n_tok = toks.str.len().to_numpy(np.int64)
+            keep = n_tok > 0  # zero-token docs drop out (SQL: no unnest rows)
+            ex = toks[keep].reset_index(drop=True).explode()
+            lp = self.logp.reindex(ex.to_numpy()).to_numpy(np.float64)
+            sums = np.zeros(int(keep.sum()), dtype=np.float64)
+            np.add.at(sums, ex.index.to_numpy(np.int64), lp)
+            v = -sums / n_tok[keep] * 1000.0
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy()[keep],
+                    "mean_nll_milli": (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return ds.map_batches(UnigramScoreStage, batch_format="pandas", concurrency=(1, 4))
+
+
 CONTAMINATION_ORACLE_SQL = """
 WITH probes AS (
   SELECT doc_id AS probe_id, substr(text, 17, 40) AS probe

@@ -658,6 +658,22 @@ def test_unigram_logprob_scores_rare_docs_higher(ray_session):
     assert a["mean_nll_milli"].nunique() > 1
 
 
+def test_tfidf_keywords_topk_shape(ray_session):
+    """Every doc yields at most k=3 keywords; scores are non-negative
+    (idf >= 0 since df <= N); corpus-common tokens score 0 and genuinely
+    distinctive tokens rank above them; deterministic across reruns."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["tfidf_keywords"](sf).to_pandas().sort_values(["doc_id", "tok"])
+    b = QUERIES["tfidf_keywords"](sf).to_pandas().sort_values(["doc_id", "tok"])
+    assert len(a) > 0
+    assert (a.groupby("doc_id").size() <= 3).all()
+    assert (a["tfidf_milli"] >= 0).all()
+    assert a["tfidf_milli"].max() > 0
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
 def test_shuffle_order_is_deterministic_permutation(ray_session):
     """The training-order shuffle assigns every doc a unique 1..n position
     (md5 keyed hash → distributed rank), identically across reruns, and

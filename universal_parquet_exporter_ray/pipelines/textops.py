@@ -777,6 +777,124 @@ def q_unigram_logprob(sf_dir: str):
     return ds.map_batches(UnigramScoreStage, batch_format="pandas", concurrency=(1, 4))
 
 
+_TFIDF_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM t),
+s AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(round(tf.tf * ln(n.n / df.df) * 1000.0) AS BIGINT) AS tfidf_milli,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.tok
+         ) AS rk
+  FROM tf, df, n WHERE tf.tok = df.tok
+)
+SELECT doc_id, tok, tfidf_milli FROM s WHERE rk <= 3
+"""
+
+
+@q("tfidf_keywords", _TFIDF_ORACLE_SQL)
+def q_tfidf_keywords(sf_dir: str, k: int = 3):
+    """Per-document keyword extraction: top-k tokens by tf-idf. Pass 1
+    computes document frequencies with a combiner-first distributed count
+    (each doc is one row, so a per-batch (doc, tok) dedup bounds partial
+    rows by vocabulary x batches) plus the corpus doc count; the
+    vocab-sized idf table broadcasts once via ``ray.put``. Pass 2 scores
+    tf x idf per doc and keeps the top k entirely inside the batch — no
+    shuffle touches corpus-sized data at any scale. Determinism: doubles
+    match the SQL twin bit-for-bit (integer inputs, correctly-rounded
+    division, same-libm ln) and exact ties break on token ascending."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    P = 32
+
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+")
+        flat = pd.DataFrame(
+            {
+                "i": df["doc_id"].repeat(toks.str.len()),
+                "tok": np.concatenate(toks.to_numpy()) if len(df) else [],
+            }
+        )
+        # distinct (doc, tok) -> one df unit; vocab-bounded after the dedup
+        uniq = flat.drop_duplicates()
+        grp = uniq.groupby("tok", sort=False).size().reset_index(name="df")
+        grp["tp"] = (
+            pd.util.hash_pandas_object(grp["tok"], index=False).to_numpy(np.uint64)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return grp
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tok", sort=False)["df"].sum().reset_index()
+
+    # document frequency: vocab-sized after the coarse-partition sum
+    freqs = (
+        ds.map_batches(partial_df, batch_format="pandas")
+        .groupby("tp")
+        .map_groups(sum_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    # corpus doc count (docs with >= 1 token): tiny distributed aggregate
+    def count_docs(df: pd.DataFrame) -> pd.DataFrame:
+        n = int((df["text"].str.findall(r"\S+").str.len() > 0).sum())
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    n_docs = float(
+        ds.map_batches(count_docs, batch_format="pandas").sum("n")
+    )
+    idf = pd.Series(
+        np.log(n_docs / freqs["df"].to_numpy(np.float64)),
+        index=freqs["tok"].to_numpy(),
+    )
+    idf_ref = ray.put(idf)
+
+    class TfIdfStage:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.findall(r"\S+")
+            ids = df["doc_id"].to_numpy()
+            ex = toks.reset_index(drop=True).explode().dropna()
+            if len(ex) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                        "tok": pd.Series([], dtype="object"),
+                        "tfidf_milli": pd.Series([], dtype="int64"),
+                    }
+                )
+            flat = pd.DataFrame(
+                {"i": ids[ex.index.to_numpy(np.int64)], "tok": ex.to_numpy()}
+            )
+            tf = flat.groupby(["i", "tok"], sort=False).size().reset_index(name="tf")
+            score = tf["tf"].to_numpy(np.float64) * self.idf.reindex(
+                tf["tok"].to_numpy()
+            ).to_numpy(np.float64)
+            tf["score"] = score
+            top = (
+                tf.sort_values(["i", "score", "tok"], ascending=[True, False, True])
+                .groupby("i", sort=False)
+                .head(k)
+            )
+            v = top["score"].to_numpy(np.float64) * 1000.0
+            return pd.DataFrame(
+                {
+                    "doc_id": top["i"].to_numpy(),
+                    "tok": top["tok"].to_numpy(),
+                    "tfidf_milli": (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return ds.map_batches(TfIdfStage, batch_format="pandas", concurrency=(1, 4))
+
+
 CONTAMINATION_ORACLE_SQL = """
 WITH probes AS (
   SELECT doc_id AS probe_id, substr(text, 17, 40) AS probe

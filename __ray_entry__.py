@@ -60,7 +60,7 @@ _COST_ORDER = [
     "global_count_distinct", "cast_math",
     "distinct_rows", "multi_sort", "join_inner", "filter_gt", "window_agg",
     "having", "quality_by_lang", "unigram_logprob", "tfidf_keywords",
-    "count_distinct", "encode_lineitem_roundtrip",
+    "count_distinct", "encode_embeddings_roundtrip", "encode_lineitem_roundtrip",
     "group_agg", "curate_corpus", "decimal_roundtrip", "encode_roundtrip",
     "case_bucket", "datediff", "media_frame_sample", "dedup_exact",
     "json_extract_agg", "media_resize", "percent_rank", "head_preview",

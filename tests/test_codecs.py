@@ -476,3 +476,70 @@ def test_fsst2_chunk_boundary_escapes():
         roundtrip(arr, "fsst2")
     finally:
         fsst_mod.PAIRS_CHUNK = old
+
+
+# ---- vector (numeric list) codec ----------------------------------------
+
+
+def _rand_vecs(n, dim, dtype=np.float32):
+    return pa.array(
+        [RNG.normal(size=dim).astype(dtype) for _ in range(n)],
+        type=pa.list_(pa.from_numpy_dtype(dtype)),
+    )
+
+
+def test_vec_bshuf_roundtrip_float32():
+    roundtrip(_rand_vecs(500, 64), "vec_bshuf_zstd")
+
+
+def test_vec_bshuf_roundtrip_float64_varlen():
+    vals = [RNG.normal(size=int(k)).astype(np.float64) for k in RNG.integers(0, 9, 300)]
+    roundtrip(pa.array(vals, type=pa.list_(pa.float64())), "vec_bshuf_zstd")
+
+
+def test_vec_bshuf_roundtrip_int_lists():
+    vals = [RNG.integers(-1000, 1000, int(k)) for k in RNG.integers(0, 5, 200)]
+    roundtrip(pa.array(vals, type=pa.list_(pa.int64())), "vec_bshuf_zstd")
+
+
+def test_vec_bshuf_inner_nulls():
+    arr = pa.array(
+        [[1.0, None, 3.0], [], [None, None], [4.5]], type=pa.list_(pa.float32())
+    )
+    roundtrip(arr, "vec_bshuf_zstd")
+
+
+def test_vec_bshuf_sliced_input():
+    base = _rand_vecs(400, 16)
+    sl = base.slice(37, 201)
+    row = encode_column(sl, "vec_bshuf_zstd")
+    assert sl.equals(decode_column(row))
+
+
+def test_vec_bshuf_large_and_fixed_lists():
+    vals = [list(map(float, RNG.normal(size=8))) for _ in range(100)]
+    roundtrip(pa.array(vals, type=pa.large_list(pa.float32())), "vec_bshuf_zstd")
+    roundtrip(pa.array(vals, type=pa.list_(pa.float32(), 8)), "vec_bshuf_zstd")
+
+
+def test_vec_bshuf_empty():
+    roundtrip(pa.array([], type=pa.list_(pa.float32())), "vec_bshuf_zstd")
+
+
+def test_vec_outer_nulls_roundtrip_via_envelope():
+    # outer nulls route nested arrays to the IPC-lossless path inside
+    # encode_column; the round-trip must still be exact
+    arr = pa.array([[1.0, 2.0], None, [3.0]], type=pa.list_(pa.float32()))
+    row = encode_column(arr, "vec_bshuf_zstd")
+    assert decode_column(row).equals(arr)
+
+
+def test_selector_prefers_vec_codec_on_embeddings():
+    from universal_parquet_exporter_ray.selector import select_codec
+
+    arr = _rand_vecs(2000, 64)
+    choice = select_codec(arr)
+    assert choice.codec == "vec_bshuf_zstd"
+    z = encode_column(arr, "zstd")
+    v = encode_column(arr, "vec_bshuf_zstd")
+    assert len(v["payload"]) < len(z["payload"])

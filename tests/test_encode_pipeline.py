@@ -147,6 +147,41 @@ def test_groupby_shuffle_mode(ray_session, source_files_path, tmp_path):
     assert verify_roundtrip(source_files_path, out).ok.all()
 
 
+def test_embeddings_encode_uses_vector_codec(ray_session, tmp_path):
+    """End-to-end over a numeric list column: the selector must pick the
+    vec_bshuf_zstd codec for the vector column (not the IPC fallback), and
+    the decoded table must round-trip bit-identical."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.pipelines.verify import decoded_dataset
+
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "emb.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(800), type=pa.int64()),
+            "embedding": pa.array(
+                [rng.normal(size=32).astype(np.float32) for _ in range(800)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "emb_out")
+    mdf = encode_dataset(
+        src, out, partition_by=None, hash_cols=["vec_id"], target_rows_per_partition=400
+    ).to_pandas()
+    codecs_used = {json.loads(c)["embedding"] for c in mdf["codecs"]}
+    assert codecs_used == {"vec_bshuf_zstd"}
+    # the fingerprint verifier must hash list cells (ndarray rows) correctly
+    assert verify_roundtrip(src, out).ok.all()
+    dec = decoded_dataset(out).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    srcdf = tbl.to_pandas()
+    assert len(dec) == 800
+    for a, b in zip(dec["embedding"], srcdf["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_encode_job_cli(ray_session, source_files_path, tmp_path):
     # the ray-job-submit entrypoint, run in-process (session already owned
     # by the fixture; the script's init guard must respect it)

@@ -21,6 +21,7 @@ from .dictionary import ConstantCodec, DictCodec
 from .fsst import Fsst2Codec, FsstCodec
 from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
 from .plain import ByteShuffleZstdCodec, PlainCodec, ZstdCodec
+from .vector import VecShuffleZstdCodec
 
 register_codec(PlainCodec())
 register_codec(ZstdCodec())
@@ -35,3 +36,4 @@ register_codec(FsstCodec())
 register_codec(FsstCodec(compress=True, name="fsst_zstd"))
 register_codec(Fsst2Codec())
 register_codec(AlpCodec())
+register_codec(VecShuffleZstdCodec())

@@ -1770,6 +1770,53 @@ def q_encode_lineitem_roundtrip(sf_dir: str):
 
 
 @q(
+    "encode_embeddings_roundtrip",
+    "SELECT vec_id, label, len(embedding) AS dim, "
+    "CAST(list_sum(list_transform(embedding, "
+    "e -> round(CAST(e AS DOUBLE) * 1000000.0))) AS BIGINT) AS emb_fp "
+    "FROM embeddings",
+)
+def q_encode_embeddings_roundtrip(sf_dir: str):
+    """Encode the embeddings table (exercises the ``vec_bshuf_zstd`` numeric
+    list codec on the vector column), decode it back, and emit a per-row
+    integer fingerprint of the DECODED vector: sum over elements of
+    round(float64(e) * 1e6), half away from zero. Every term is an integral
+    double far below 2^53 so the sum is exact and order-free — a hash match
+    against the source-side SQL twin proves the vectors decoded
+    bit-identical. (A list column itself can't go through the driver's
+    sort-by-all-columns canonicalization, hence the scalar fingerprint.)"""
+    from .encode import encode_dataset
+    from .verify import decoded_dataset
+
+    out = tempfile.mkdtemp(prefix="upxr_emb_")
+    encode_dataset(
+        table_path(sf_dir, "embeddings"),
+        out,
+        partition_by=None,
+        hash_cols=["vec_id"],
+        target_rows_per_partition=2000,
+    )
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.empty(len(df), dtype=np.int64)
+        dims = np.empty(len(df), dtype=np.int64)
+        for j, cell in enumerate(df["embedding"].to_numpy()):
+            v = np.asarray(cell, dtype=np.float64) * 1000000.0
+            fps[j] = int((np.sign(v) * np.floor(np.abs(v) + 0.5)).sum())
+            dims[j] = len(cell)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "label": df["label"],
+                "dim": dims,
+                "emb_fp": fps,
+            }
+        )
+
+    return decoded_dataset(out).map_batches(fingerprint, batch_format="pandas")
+
+
+@q(
     "encode_manifest",
     "SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_partitions, "
     "count(*) AS n_rows, 5 AS n_columns FROM documents",

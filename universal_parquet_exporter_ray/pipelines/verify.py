@@ -42,6 +42,32 @@ def _row_sha64(values: pd.Series) -> np.ndarray:
     return out
 
 
+def _seq_sha64(values: pd.Series) -> np.ndarray:
+    """Row hashes for list/vector columns (cells are ndarrays or lists,
+    which pd.util.hash_pandas_object cannot hash): sha256 of the cell's
+    raw value bytes. Both the source batch (parquet → pandas) and the
+    decoded batch materialize list<T> cells as numpy arrays of the same
+    dtype, so the byte view is a stable contract across the two sides."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out[i] = np.uint64(0x6E756C6C)  # b"null"
+        else:
+            b = np.asarray(v).tobytes()
+            out[i] = np.frombuffer(hashlib.sha256(b).digest()[:8], dtype=np.uint64)[0]
+    return out
+
+
+def _is_seq_column(s: pd.Series) -> bool:
+    if s.dtype != object:
+        return False
+    for v in s:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        return isinstance(v, (np.ndarray, list, tuple))
+    return False
+
+
 class FingerprintStage:
     """map_batches stage → partial fingerprint rows per (partition, column)."""
 
@@ -58,6 +84,8 @@ class FingerprintStage:
         for c in cols:
             if c == self.content_col:
                 hashes[c] = _row_sha64(df[c])
+            elif _is_seq_column(df[c]):
+                hashes[c] = _seq_sha64(df[c])
             else:
                 hashes[c] = pd.util.hash_pandas_object(df[c], index=False).to_numpy(
                     dtype=np.uint64

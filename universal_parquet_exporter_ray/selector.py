@@ -68,6 +68,12 @@ def candidate_codecs(t: pa.DataType, stats: ColumnStats) -> list[str]:
         cands.append("bshuf_zstd")
         cands.append("zstd")
     else:
+        from .codecs.vector import _is_vector_type
+
+        if _is_vector_type(t):
+            # numeric list columns (embedding vectors): byte-shuffling the
+            # flat values beats whole-array IPC+zstd (0.85 vs 0.94 measured)
+            cands.append("vec_bshuf_zstd")
         cands.append("zstd")
         cands.append("plain")
     return cands

@@ -726,8 +726,14 @@ def q_unigram_logprob(sf_dir: str):
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(r"\S+")
+        # typed empty when the batch has no tokens at all (a bare
+        # np.concatenate would emit float64 and break block schema unify)
         flat = pd.DataFrame(
-            {"tok": np.concatenate(toks.to_numpy()) if len(df) else []}
+            {
+                "tok": np.concatenate(toks.to_numpy()).astype(object, copy=False)
+                if int(toks.str.len().sum())
+                else np.array([], dtype=object)
+            }
         )
         grp = flat.groupby("tok", sort=False).size().reset_index(name="n")
         grp["tp"] = (
@@ -745,6 +751,10 @@ def q_unigram_logprob(sf_dir: str):
         .map_groups(sum_partials, batch_format="pandas")
         .to_pandas()  # vocab-sized model table, NOT corpus-sized
     )
+    if "n" not in freqs.columns:  # degenerate corpus: zero tokens anywhere
+        freqs = pd.DataFrame(
+            {"tok": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
     total = float(freqs["n"].sum())
     logp = pd.Series(
         np.log(freqs["n"].to_numpy(np.float64) / total),
@@ -816,7 +826,9 @@ def q_tfidf_keywords(sf_dir: str, k: int = 3):
         flat = pd.DataFrame(
             {
                 "i": df["doc_id"].repeat(toks.str.len()),
-                "tok": np.concatenate(toks.to_numpy()) if len(df) else [],
+                "tok": np.concatenate(toks.to_numpy()).astype(object, copy=False)
+                if int(toks.str.len().sum())
+                else np.array([], dtype=object),
             }
         )
         # distinct (doc, tok) -> one df unit; vocab-bounded after the dedup
@@ -838,6 +850,10 @@ def q_tfidf_keywords(sf_dir: str, k: int = 3):
         .map_groups(sum_partials, batch_format="pandas")
         .to_pandas()
     )
+    if "df" not in freqs.columns:  # degenerate corpus: zero tokens anywhere
+        freqs = pd.DataFrame(
+            {"tok": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
+        )
     # corpus doc count (docs with >= 1 token): tiny distributed aggregate
     def count_docs(df: pd.DataFrame) -> pd.DataFrame:
         n = int((df["text"].str.findall(r"\S+").str.len() > 0).sum())

@@ -72,7 +72,7 @@ _COST_ORDER = [
     "ann_ivf_fullprobe", "ann_topk", "ann_ivf_topk", "ann_ivf_pruned",
     "ann_ivf_pruned_fullprobe", "pivot_events",
     "join_multiway", "projection", "join_compound", "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs", "dedup_clusters",
 ]
 
 

@@ -658,6 +658,31 @@ def test_unigram_logprob_scores_rare_docs_higher(ray_session):
     assert a["mean_nll_milli"].nunique() > 1
 
 
+def test_dedup_clusters_components(ray_session, tmp_path):
+    """Connected components over the near-dup graph: three identical docs
+    form one cluster keyed by the min doc_id, two other identical docs a
+    second cluster, and a unique doc appears in no cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    t2 = "one two three four five six seven eight nine ten " * 5
+    t3 = "totally different words nothing shared here at all " * 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 20, 21, 30], type=pa.int64()),
+            "text": [t1, t1, t1, t2, t2, t3],
+            "lang": ["en"] * 6,
+            "n_chars": pa.array([len(t1)] * 3 + [len(t2)] * 2 + [len(t3)], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = QUERIES["dedup_clusters"](str(tmp_path)).set_index("doc_id")["cluster_id"]
+    assert out.to_dict() == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_tfidf_keywords_topk_shape(ray_session):
     """Every doc yields at most k=3 keywords; scores are non-negative
     (idf >= 0 since df <= N); corpus-common tokens score 0 and genuinely

@@ -187,6 +187,81 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_CLUSTERS_ORACLE_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE 2 * i >= ca.n + cb.n - i
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(x, y) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a
+)
+SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x
+"""
+
+
+@q("dedup_clusters", _CLUSTERS_ORACLE_SQL)
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the verified near-dup
+    pair graph (the step after pair finding in a production dedup pipeline —
+    each cluster keeps one canonical doc, the min doc_id). Every corpus-sized
+    stage is the distributed minhash/verify plan of ``minhash_lsh_pairs``;
+    the component computation runs over the OUTPUT-sized pair graph only
+    (same class as that plan's broadcast doc→pairs map — duplicates, not the
+    corpus). At 100 TB the same result comes from iterative min-label
+    propagation — alternate groupby(doc).min(label) over (labels ∪
+    edge-messages), O(log diameter) bounded shuffles of the pair set — the
+    union-find here is the single-node special case of that loop's fixpoint.
+    Oracle: transitive closure via a recursive CTE over the identical exact
+    all-pairs Jaccard edge set."""
+    pairs = q_minhash_lsh_pairs(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+            }
+        )
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(d): i for i, d in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for da, db in zip(a, b):
+        ra, rb = find(idx[int(da)]), find(idx[int(db)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    out = pd.DataFrame({"doc_id": nodes, "root": roots})
+    out["cluster_id"] = out.groupby("root")["doc_id"].transform("min")
+    return out[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 NGRAM_JACCARD_ORACLE_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents

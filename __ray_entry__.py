@@ -52,7 +52,7 @@ def entry() -> Any:
 # any prefix of the registry cover the maximum number of operators, and puts
 # the one irreducibly-heavy pipeline (minhash_lsh_pairs) last.
 _COST_ORDER = [
-    "topk", "hash_split", "limit_offset", "token_count", "global_agg",
+    "topk", "hash_split", "limit_offset", "token_count", "token_count_bpe", "global_agg",
     "text_quality", "repetition_ratio", "rolling_window", "lag_gap", "sql_ingest",
     "sessionization", "filter_eq_notnull", "lang_centroids", "asof_join",
     "union_all", "rank_partitioned", "minmax_dates", "filter_like",

@@ -462,6 +462,39 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(token_count, batch_format="pandas")
 
 
+_BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+|[ \t\n\r]+"
+
+
+@q(
+    "token_count_bpe",
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+')) "
+    "AS n_bpe_tokens FROM documents",
+)
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish tokenizer counting (the GPT-2 pre-tokenizer shape: letter
+    runs / digit runs / punctuation runs with optional leading space, plus
+    whitespace runs), restricted to the RE2∩``re`` syntax subset with
+    disjoint alternation branches so Python and DuckDB tokenize identically
+    (same contract as ``redact_pii``). Complements the whitespace
+    ``token_count``; pure per-batch map, zero shuffles."""
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"]
+                .str.findall(_BPE_PAT)
+                .str.len()
+                .fillna(0)
+                .astype("int64"),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
 @q(
     "text_quality",
     "SELECT doc_id, "

@@ -679,7 +679,11 @@ def test_dedup_clusters_components(ray_session, tmp_path):
         }
     )
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
-    out = QUERIES["dedup_clusters"](str(tmp_path)).set_index("doc_id")["cluster_id"]
+    out = (
+        QUERIES["dedup_clusters"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+    )
     assert out.to_dict() == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -712,3 +716,116 @@ def test_shuffle_order_is_deterministic_permutation(ray_session):
     assert n > 0
     assert sorted(a["pos"].tolist()) == list(range(1, n + 1))
     assert a["pos"].tolist() == b["pos"].tolist()
+
+
+def test_connected_components_chain_graph(ray_session):
+    """Worst-case diameter: a chain 0-1-2-...-63 plus a second component.
+    The alternating star algorithm must converge in O(log n) rounds with no
+    graph-sized driver structure (driver state is one checksum per round)."""
+    from universal_parquet_exporter_ray.stages.dedup import connected_components
+
+    n = 64
+    chain = pd.DataFrame(
+        {"u": np.arange(n - 1, dtype=np.int64) + 100,
+         "v": np.arange(1, n, dtype=np.int64) + 100}
+    )
+    other = pd.DataFrame({"u": [7, 8], "v": [8, 9]})
+    edges = ray.data.from_pandas(pd.concat([chain, other], ignore_index=True)).repartition(5)
+    out = connected_components(edges).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    for i in range(100, 100 + n):
+        assert got[i] == 100
+    for i in (7, 8, 9):
+        assert got[i] == 7
+    assert len(out) == n + 3
+
+
+def test_connected_components_matches_bruteforce(ray_session):
+    """Random sparse graph vs a reference union-find computed in the test."""
+    from universal_parquet_exporter_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    m, n_nodes = 300, 200
+    a = rng.integers(0, n_nodes, m).astype(np.int64)
+    b = rng.integers(0, n_nodes, m).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    edges = ray.data.from_pandas(pd.DataFrame({"u": a, "v": b})).repartition(4)
+
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    expected = {v: find(v) for v in nodes}
+    # canonical min per component
+    comp_min = {}
+    for v, r in expected.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), v), v)
+    expected = {v: comp_min[find(v)] for v in nodes}
+
+    out = connected_components(edges).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expected
+
+
+def test_unigram_vocab_cutoff_caps_broadcast(ray_session):
+    """Hapax-heavy fixture: 1000 docs, each contributing unique tokens plus
+    a small shared head vocabulary.  With min_count=3 the broadcast model
+    must be bounded by the head vocabulary, not the corpus (the 100-TB
+    bound, in code — VERDICT r3 item 3)."""
+    from universal_parquet_exporter_ray.pipelines.textops import train_unigram_model
+
+    head = ["the", "of", "and", "data", "ray"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "text": [
+                f"{head[i % 5]} {head[(i + 1) % 5]} uniq{i}a uniq{i}b uniq{i}c"
+                for i in range(1000)
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(6)
+    logp, oov_lp = train_unigram_model(ds, min_count=3)
+    # 3000 hapax tokens collapse into the OOV bucket; only the head survives
+    assert len(logp) == len(head)
+    assert set(logp.index) == set(head)
+    # probabilities still normalize over the FULL corpus token count
+    total_mass = float(np.exp(logp.to_numpy()).sum() + np.exp(oov_lp))
+    assert abs(total_mass - 1.0) < 1e-9
+    # uncut run keeps everything and has no OOV mass
+    logp_all, oov_all = train_unigram_model(ds, min_count=1)
+    assert len(logp_all) == len(head) + 3000
+    assert oov_all == float("-inf")
+
+
+def test_tfidf_min_df_cutoff_is_exact(ray_session):
+    """min_df=2 cuts exactly the df==1 tail, and the default idf equals the
+    exact idf of a df==1 token, so scores are identical with or without the
+    cutoff."""
+    from universal_parquet_exporter_ray.pipelines.textops import train_doc_freq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [f"alpha beta rare{i}" for i in range(200)],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    idf_cut, default_idf, n = train_doc_freq(ds, min_df=2)
+    idf_all, _, n2 = train_doc_freq(ds, min_df=1)
+    assert n == n2 == 200.0
+    assert set(idf_cut.index) == {"alpha", "beta"}
+    assert len(idf_all) == 2 + 200
+    # the default reproduces the exact idf of every cut (df==1) token
+    for t in ("rare0", "rare37", "rare199"):
+        assert idf_all[t] == default_idf
+    for t in ("alpha", "beta"):
+        assert idf_cut[t] == idf_all[t]

@@ -35,11 +35,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+def dtype_family(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame, strict: bool = False) -> str:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         return f"COLUMNS ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
+    if strict:
+        # the round-3 sequence_pack lesson: the driver's value hash is
+        # dtype-sensitive, so an int64 Ray column vs a HUGEINT→float64
+        # oracle column hash-mismatches even when numerically identical.
+        # Flag any cross-family dtype pair a byte hash could distinguish.
+        bad = [
+            (c, str(ray_df[c].dtype), str(sql_df[c].dtype))
+            for c in ray_df.columns
+            if dtype_family(ray_df[c]) != dtype_family(sql_df[c])
+        ]
+        if bad:
+            return f"DTYPE-FAMILY {bad}"
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
@@ -62,8 +86,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict-dtypes"]
+    strict = "--strict-dtypes" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -104,7 +130,7 @@ def main():
             print(f"{name:24s} SQL-ERROR {e}")
             n_bad += 1
             continue
-        verdict = compare(name, ray_df, sql_df)
+        verdict = compare(name, ray_df, sql_df, strict=strict)
         print(f"{name:24s} {verdict}")
         n_ok += verdict == "OK"
         n_bad += verdict != "OK"

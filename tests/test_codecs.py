@@ -509,6 +509,21 @@ def test_vec_bshuf_inner_nulls():
     roundtrip(arr, "vec_bshuf_zstd")
 
 
+def test_vec_bshuf_fixed_size_list_inner_nulls():
+    """fixed_size_list + inner nulls exercises the
+    FixedSizeListArray.from_arrays rebuild in decode — previously untested
+    (ADVICE r3): a pyarrow regression there would have shipped unnoticed."""
+    arr = pa.array(
+        [[1.0, None, 3.0], [None, 5.0, None], [7.0, 8.0, 9.0], [None, None, None]],
+        type=pa.list_(pa.float32(), 3),
+    )
+    roundtrip(arr, "vec_bshuf_zstd")
+    # sliced variant: offsets into the validity bitmap must stay aligned
+    sl = arr.slice(1, 2)
+    row = encode_column(sl, "vec_bshuf_zstd")
+    assert sl.equals(decode_column(row))
+
+
 def test_vec_bshuf_sliced_input():
     base = _rand_vecs(400, 16)
     sl = base.slice(37, 201)

@@ -138,29 +138,70 @@ def test_bucket_partition_colocates_and_enumerates_pairs():
     assert len(empty) == 0 and list(empty.columns) == ["doc_a", "doc_b"]
 
 
-def test_pair_shingle_emit_and_group_jaccard(ray_session):
-    import ray
-
+def test_pair_shingle_emit_and_partition_jaccard(ray_session):
     from universal_parquet_exporter_ray.stages.dedup import (
         PairShingleEmit,
         jaccard_from_sets,
-        pair_group_jaccard,
+        pair_blob_partition_jaccard,
         word_shingle_hashes,
     )
 
     a = "the quick brown fox jumps over the lazy dog again and again"
     b = "the quick brown fox jumps over the lazy cat again and again"
     c = "completely different text with other words entirely here now"
-    ref = ray.put({1: [(0, 0)], 2: [(0, 1)]})
-    out = PairShingleEmit(map_ref=ref)(
+    members = pd.DataFrame({"doc_id": [1, 2], "doc_a": [1, 1], "doc_b": [2, 2]})
+    out = PairShingleEmit(members=members)(
         pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
     )
     # doc 3 is not a candidate → only the pair's two rows are emitted
-    assert len(out) == 2 and set(out["pair_id"]) == {0}
-    g = pair_group_jaccard(out)
+    assert len(out) == 2 and set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    g = pair_blob_partition_jaccard(out)
     jac = jaccard_from_sets(word_shingle_hashes(a), word_shingle_hashes(b))
     assert g["inter"].iloc[0] / g["union"].iloc[0] == pytest.approx(jac)
     assert (g["doc_a"].iloc[0], g["doc_b"].iloc[0]) == (1, 2)
+
+
+def test_verify_pairs_broadcast_and_distributed_agree(ray_session):
+    """Threshold-switch unit test (VERDICT r3 item 5): verify_pairs must
+    produce identical (doc_a, doc_b, inter, union) through the broadcast
+    plan and the over-budget distributed-join plan."""
+    from universal_parquet_exporter_ray.stages.dedup import verify_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy cat again and again",
+        3: "completely different text with other words entirely here now",
+        4: "completely different text with other words entirely here too",
+        5: "unrelated content that matches nothing else in this corpus at all",
+    }
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    ).repartition(3)
+    cand = ray.data.from_pandas(
+        pd.DataFrame(
+            # duplicated candidate rows on purpose (band dups must dedup)
+            {"doc_a": [1, 3, 1, 1], "doc_b": [2, 4, 5, 2]}
+        )
+    ).repartition(2)
+    via_broadcast = (
+        verify_pairs(docs, cand, broadcast_budget=1_000_000)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    via_join = (
+        verify_pairs(docs, cand, broadcast_budget=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(via_broadcast) == 3  # (1,2), (1,5), (3,4) — deduped
+    pd.testing.assert_frame_equal(
+        via_broadcast[["doc_a", "doc_b", "inter", "union"]],
+        via_join[["doc_a", "doc_b", "inter", "union"]],
+    )
 
 
 def test_shingle_explode_and_posting_pairs():

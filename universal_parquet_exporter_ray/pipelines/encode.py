@@ -68,12 +68,19 @@ def default_pool_size() -> int:
     return max(1, cpus - 1)
 
 
+# above this many PARTIAL rows (distinct key × batch), the driver-side merge
+# is replaced by a distributed groupby over the partials first — one row per
+# key reaches the driver instead of one per (key, batch)
+PARTIAL_MERGE_LIMIT = 2_000_000
+
+
 def make_assigner(
     ds: "ray.data.Dataset",
     partition_by: Optional[str],
     hash_cols: list[str],
     target_rows: int,
     num_partitions: Optional[int] = None,
+    partial_limit: int = PARTIAL_MERGE_LIMIT,
 ) -> AssignPartitions:
     """Build the deterministic partition assigner. With ``partition_by``: a
     column-pruned groupby-count feeds the salt/merge plan (hot keys split,
@@ -82,11 +89,14 @@ def make_assigner(
         # per-batch partial value_counts (combiner) + tiny driver merge — a
         # full groupby shuffle for a single count column costs seconds of
         # fixed coordination. The partials are one row per distinct key per
-        # batch; at extreme key cardinality swap the merge for a groupby
-        # over the same partials.
+        # batch; past ``partial_limit`` rows (extreme key cardinality) a
+        # coarse-partition groupby pre-sums them distributed-side so only
+        # one row per DISTINCT key reaches the driver (round-4, VERDICT r3
+        # item 7 — the thresholded_join pattern applied here).
+        import numpy as np
         import pandas as pd
 
-        partials = (
+        partials_ds = (
             ds.select_columns([partition_by])
             .map_batches(
                 lambda df: df[partition_by]
@@ -97,8 +107,30 @@ def make_assigner(
                 .reset_index(),
                 batch_format="pandas",
             )
-            .to_pandas()
+            .materialize()
         )
+        if partials_ds.count() > partial_limit:
+            def stamp_kp(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["kp"] = (
+                    pd.util.hash_pandas_object(df["k"], index=False).to_numpy(
+                        np.uint64
+                    )
+                    % np.uint64(64)
+                ).astype(np.int64)
+                return df
+
+            def sum_keys(g: pd.DataFrame) -> pd.DataFrame:
+                return g.groupby("k", sort=False)["n"].sum().reset_index()
+
+            partials = (
+                partials_ds.map_batches(stamp_kp, batch_format="pandas")
+                .groupby("kp")
+                .map_groups(sum_keys, batch_format="pandas")
+                .to_pandas()
+            )
+        else:
+            partials = partials_ds.to_pandas()
         if len(partials) == 0 or "k" not in partials.columns:
             key_counts = {}
         else:

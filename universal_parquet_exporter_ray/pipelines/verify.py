@@ -156,7 +156,14 @@ def zonemap_keep_pids(
             continue
         lo, hi = zm["min"], zm["max"]
         if zm.get("kind") == "temporal":
-            v = int(pd.Timestamp(value).value)
+            ts = pd.Timestamp(value)
+            tz = zm.get("tz")
+            if tz is not None and ts.tzinfo is None:
+                # bounds were recorded as UTC ns of a tz-aware column; a
+                # naive probe means "in the column's own timezone" —
+                # localize so the comparison is offset-consistent (ADVICE r3)
+                ts = ts.tz_localize(tz)
+            v = int(ts.value)
         else:
             v = value
         max_open = bool(zm.get("max_open"))

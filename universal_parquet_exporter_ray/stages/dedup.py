@@ -220,49 +220,157 @@ def partition_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+N_PAIR_PARTS = 32
+
+
+def stamp_pq(doc_a: np.ndarray, doc_b: np.ndarray, n_parts: int = N_PAIR_PARTS) -> np.ndarray:
+    """Coarse pair-partition key: both members of a candidate pair land in
+    the same partition, so per-partition pair reductions are global."""
+    return (
+        (
+            doc_a.astype(np.uint64) * np.uint64(1000003)
+            + doc_b.astype(np.uint64)
+        )
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+
+
 class PairShingleEmit:
     """Distributed Jaccard-verify feeder: batch(doc_id, text) → one row per
     (candidate pair, member doc) with the doc's shingle set as packed int64
-    bytes. The doc→pairs map is the BROADCAST small side (``ray.put`` once,
-    read per actor in ``__init__``) — candidate pairs are output-sized LSH
-    hits, never the corpus; texts/shingles stay on workers."""
+    bytes. The doc→pair membership table is the BROADCAST small side, passed
+    BY VALUE in ``fn_constructor_kwargs`` (Ray ships it to the object store
+    once per pool; no explicit ObjectRef in the constructor args, so actor
+    restarts can't race a lost ref — ray#53727). Candidate pairs are
+    output-sized LSH hits under the broadcast budget, never the corpus;
+    texts/shingles stay on workers.
 
-    def __init__(self, map_ref, w: int = 3, text_col: str = "text"):
-        import ray as _ray
+    Round-4: membership lookup is a vectorized pandas merge (was a Python
+    dict probe per row); only the per-doc shingle hashing — the adjudicated
+    per-row surface — loops, and only over the batch's candidate docs."""
 
-        self.d2p: dict[int, list] = _ray.get(map_ref)
+    def __init__(self, members: pd.DataFrame, w: int = 3, text_col: str = "text"):
+        self.members = members  # columns: doc_id, doc_a, doc_b
+        self.w = w
+        self.text_col = text_col
+
+    _EMPTY = {
+        "doc_a": "int64",
+        "doc_b": "int64",
+        "pq": "int64",
+        "doc_id": "int64",
+        "sh": "object",
+        "n_sh": "int64",
+    }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        hits = df[["doc_id", self.text_col]].merge(self.members, on="doc_id")
+        if hits.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in self._EMPTY.items()}
+            )
+        uniq = hits.drop_duplicates("doc_id")
+        blobs = {}
+        sizes = {}
+        for d, t in zip(uniq["doc_id"], uniq[self.text_col]):
+            sh = word_shingle_hashes(t if isinstance(t, str) else "", self.w)
+            blobs[int(d)] = sh.view(np.int64).tobytes()
+            sizes[int(d)] = len(sh)
+        da = hits["doc_a"].to_numpy(np.int64)
+        db = hits["doc_b"].to_numpy(np.int64)
+        ids = hits["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": da,
+                "doc_b": db,
+                "pq": stamp_pq(da, db),
+                "doc_id": ids,
+                "sh": pd.Series([blobs[int(d)] for d in ids], dtype=object),
+                "n_sh": np.array([sizes[int(d)] for d in ids], dtype=np.int64),
+            }
+        )
+
+
+class ShingleBlobStage:
+    """batch(doc_id, text) → (doc_id, sh blob, n_sh) for EVERY doc — the
+    corpus side of the distributed (over-budget) verify join, where no
+    broadcast membership exists to prune the scan."""
+
+    def __init__(self, w: int = 3, text_col: str = "text"):
         self.w = w
         self.text_col = text_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        pair_ids: list[int] = []
-        roles: list[int] = []
-        doc_ids: list[int] = []
-        shs: list[bytes] = []
-        n_shs: list[int] = []
-        for doc_id, text in zip(df["doc_id"], df[self.text_col]):
-            hits = self.d2p.get(int(doc_id))
-            if not hits:
-                continue
-            sh = word_shingle_hashes(
-                text if isinstance(text, str) else "", self.w
-            ).view(np.int64)
-            blob = sh.tobytes()
-            for pid, role in hits:
-                pair_ids.append(pid)
-                roles.append(role)
-                doc_ids.append(int(doc_id))
-                shs.append(blob)
-                n_shs.append(len(sh))
+        blobs = []
+        sizes = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df[self.text_col]):
+            sh = word_shingle_hashes(t if isinstance(t, str) else "", self.w)
+            blobs.append(sh.view(np.int64).tobytes())
+            sizes[i] = len(sh)
         return pd.DataFrame(
             {
-                "pair_id": np.array(pair_ids, dtype=np.int64),
-                "role": np.array(roles, dtype=np.int64),
-                "doc_id": np.array(doc_ids, dtype=np.int64),
-                "sh": pd.Series(shs, dtype=object),
-                "n_sh": np.array(n_shs, dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "sh": pd.Series(blobs, dtype=object),
+                "n_sh": sizes,
             }
         )
+
+
+_EMPTY_PAIR_JAC = pd.DataFrame(
+    {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "inter": pd.Series([], dtype="int64"),
+        "union": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def pair_blob_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse pair-partition of (doc_a, doc_b, doc_id, sh, n_sh) rows →
+    exact integer (inter, union) per candidate pair. Each pair contributes
+    exactly two rows (doc_id == doc_a and doc_id == doc_b, a < b), so after
+    a sort the partition is even/odd-row aligned and only the per-pair
+    ``intersect1d`` loops — one coarse group per partition instead of one
+    Ray group per pair (round-4: replaces the per-pair ``map_groups``)."""
+    g = g.sort_values(["doc_a", "doc_b", "doc_id"], kind="stable").reset_index(
+        drop=True
+    )
+    if len(g) == 0:
+        return _EMPTY_PAIR_JAC.copy()
+    if len(g) % 2:
+        raise ValueError("pair partition has an unmatched member row")
+    a_rows = g.iloc[0::2]
+    b_rows = g.iloc[1::2]
+    if not (
+        np.array_equal(a_rows["doc_a"].to_numpy(), b_rows["doc_a"].to_numpy())
+        and np.array_equal(a_rows["doc_b"].to_numpy(), b_rows["doc_b"].to_numpy())
+        and np.array_equal(a_rows["doc_id"].to_numpy(), a_rows["doc_a"].to_numpy())
+        and np.array_equal(b_rows["doc_id"].to_numpy(), b_rows["doc_b"].to_numpy())
+    ):
+        raise ValueError("pair partition rows are misaligned")
+    inter = np.fromiter(
+        (
+            np.intersect1d(
+                np.frombuffer(sa, dtype=np.int64),
+                np.frombuffer(sb, dtype=np.int64),
+                assume_unique=True,
+            ).size
+            for sa, sb in zip(a_rows["sh"], b_rows["sh"])
+        ),
+        dtype=np.int64,
+        count=len(a_rows),
+    )
+    na = a_rows["n_sh"].to_numpy(np.int64)
+    nb = b_rows["n_sh"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_a": a_rows["doc_a"].to_numpy(np.int64),
+            "doc_b": a_rows["doc_b"].to_numpy(np.int64),
+            "inter": inter,
+            "union": na + nb - inter,
+        }
+    )
 
 
 class ShingleExplode:
@@ -512,25 +620,6 @@ def pair_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def pair_group_jaccard(g: pd.DataFrame) -> pd.DataFrame:
-    """One candidate pair's two shingle rows → exact integer (inter, union)."""
-    a = g[g["role"] == 0].iloc[0]
-    b = g[g["role"] == 1].iloc[0]
-    inter = np.intersect1d(
-        np.frombuffer(a["sh"], dtype=np.int64),
-        np.frombuffer(b["sh"], dtype=np.int64),
-        assume_unique=True,
-    ).size
-    return pd.DataFrame(
-        {
-            "doc_a": np.array([a["doc_id"]], dtype=np.int64),
-            "doc_b": np.array([b["doc_id"]], dtype=np.int64),
-            "inter": np.array([inter], dtype=np.int64),
-            "union": np.array([int(a["n_sh"] + b["n_sh"] - inter)], dtype=np.int64),
-        }
-    )
-
-
 def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa, sb = word_shingle_hashes(text_a, k), word_shingle_hashes(text_b, k)
     return jaccard_from_sets(sa, sb)
@@ -753,3 +842,164 @@ def connected_components(edges, max_rounds: int = 64):
         .groupby("cp")
         .map_groups(lab_dedup, batch_format="pandas")
     )
+
+
+# Candidate-pair verification budget: membership tables below this many
+# PAIRS broadcast via the object store (two 3-int64-column rows per pair,
+# ~100 MB at the limit); above it — the dup-heavy-crawl case where the pair
+# graph scales with the corpus — the verify switches to a hash-partitioned
+# join, and nothing pair-graph-sized ever reaches the driver.
+BROADCAST_PAIR_BUDGET = 2_000_000
+
+
+def verify_pairs(
+    docs,
+    cand_rows,
+    *,
+    broadcast_budget: int = BROADCAST_PAIR_BUDGET,
+    w: int = 3,
+    text_col: str = "text",
+    join_partitions: int = 32,
+    concurrency=(1, 8),
+):
+    """Exact word-w-gram-Jaccard verification of candidate pairs — the
+    shared tail of ``minhash_lsh_pairs`` and ``ngram_jaccard_pairs``.
+
+    ``cand_rows`` is a Dataset of (doc_a, doc_b) candidate rows (duplicates
+    allowed, a < b).  Two physical plans, size-thresholded like
+    ``stages/joins.py::thresholded_join``:
+
+    - **broadcast** (pair count ≤ budget): the deduped membership table
+      ships by value to a ``PairShingleEmit`` actor pool; one corpus scan
+      emits shingle blobs only for candidate docs.
+    - **distributed** (over budget): pairs dedup inside coarse hash
+      partitions, explode to membership rows, and hash-join against a full
+      corpus blob scan — no driver materialization of the pair graph.
+
+    Both plans converge on the same coarse pair-partition reducer.  Returns
+    a Dataset of exact integer (doc_a, doc_b, inter, union)."""
+    import ray.data  # noqa: F401
+
+    cand = cand_rows.materialize()
+    n_upper = cand.count()  # band-duplicate upper bound — safe to broadcast
+    if n_upper <= broadcast_budget:
+        pairs = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+        if len(pairs) == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(_EMPTY_PAIR_JAC.copy())
+        a = pairs["doc_a"].to_numpy(np.int64)
+        b = pairs["doc_b"].to_numpy(np.int64)
+        members = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+            }
+        )
+        emitted = docs.map_batches(
+            PairShingleEmit,
+            fn_constructor_kwargs={"members": members, "w": w, "text_col": text_col},
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    else:
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["doc_a", "doc_b"]].copy()
+            df["pq"] = stamp_pq(
+                df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)
+            )
+            return df
+
+        def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(subset=["doc_a", "doc_b"])
+
+        pairs_ds = (
+            cand.map_batches(stamp, batch_format="pandas")
+            .groupby("pq")
+            .map_groups(dedup_group, batch_format="pandas")
+        )
+
+        def to_members(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["doc_a"].to_numpy(np.int64)
+            b = df["doc_b"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate([a, b]),
+                    "doc_a": np.concatenate([a, a]),
+                    "doc_b": np.concatenate([b, b]),
+                }
+            )
+
+        members_ds = pairs_ds.map_batches(to_members, batch_format="pandas")
+        blobs = docs.map_batches(
+            ShingleBlobStage,
+            fn_constructor_kwargs={"w": w, "text_col": text_col},
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+
+        # co-partitioned join via tagged union + ONE groupby on a coarse
+        # doc-hash partition (the lang_centroids pattern): robust to empty
+        # hash partitions, no acero operators, all vectorized pandas inside
+        # each group. role 0 = blob row, role 1 = membership row; sentinel
+        # zeros keep every column non-null int64/bytes so no float upcast
+        # can corrupt large ids.
+        def tag_blobs(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(np.int64)
+            z = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "dp": _doc_part(ids, join_partitions),
+                    "role": z,
+                    "doc_id": ids,
+                    "sh": df["sh"].to_numpy(),
+                    "n_sh": df["n_sh"].to_numpy(np.int64),
+                    "doc_a": z,
+                    "doc_b": z,
+                }
+            )
+
+        def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "dp": _doc_part(ids, join_partitions),
+                    "role": np.ones(len(df), dtype=np.int64),
+                    "doc_id": ids,
+                    "sh": pd.Series([b""] * len(df), dtype=object),
+                    "n_sh": np.zeros(len(df), dtype=np.int64),
+                    "doc_a": df["doc_a"].to_numpy(np.int64),
+                    "doc_b": df["doc_b"].to_numpy(np.int64),
+                }
+            )
+
+        both = blobs.map_batches(tag_blobs, batch_format="pandas").union(
+            members_ds.map_batches(tag_members, batch_format="pandas")
+        )
+
+        def join_group(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["role"].to_numpy() == 1]
+            b = g[g["role"].to_numpy() == 0]
+            if m.empty or b.empty:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=t) for c, t in PairShingleEmit._EMPTY.items()}
+                )
+            mm = m[["doc_id", "doc_a", "doc_b"]].merge(
+                b[["doc_id", "sh", "n_sh"]], on="doc_id"
+            )
+            mm["pq"] = stamp_pq(
+                mm["doc_a"].to_numpy(np.int64), mm["doc_b"].to_numpy(np.int64)
+            )
+            return mm[["doc_a", "doc_b", "pq", "doc_id", "sh", "n_sh"]]
+
+        emitted = both.groupby("dp").map_groups(join_group, batch_format="pandas")
+    return emitted.groupby("pq").map_groups(
+        pair_blob_partition_jaccard, batch_format="pandas"
+    )
+
+
+def _doc_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Coarse doc-hash partition (Fibonacci mixer, stable cross-process)."""
+    h = ids.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int64)

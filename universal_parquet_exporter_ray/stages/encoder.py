@@ -126,6 +126,12 @@ def column_zonemaps(data: pa.Table) -> dict:
                     "min": int(pd.Timestamp(mm["min"].as_py()).value),
                     "max": int(pd.Timestamp(mm["max"].as_py()).value),
                 }
+                # record the column tz: .value normalizes tz-aware stamps to
+                # UTC ns, so the probe side must localize naive probe values
+                # into this tz before comparing (ADVICE r3)
+                col_tz = getattr(t, "tz", None)
+                if col_tz is not None:
+                    entry["tz"] = col_tz
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
                 mm = pc.min_max(col)
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()

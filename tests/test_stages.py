@@ -238,7 +238,7 @@ def test_spill_partitions_commit_by_ack(tmp_path):
     downstream reads exactly the acked files."""
     from universal_parquet_exporter_ray.stages.exchange import (
         SpillPartitions,
-        read_ipc_table,
+        read_ipc_range,
     )
     import os
 
@@ -252,21 +252,31 @@ def test_spill_partitions_commit_by_ack(tmp_path):
     )
     sp = SpillPartitions(exdir)
     ack1 = sp(batch)
-    ack2 = sp(batch)  # a byte-identical second batch — distinct chunks
+    ack2 = sp(batch)  # a byte-identical second batch — distinct map files
     assert ack1["rows"].to_pylist() == ack2["rows"].to_pylist() == [3, 2]
     assert set(ack1["file"].to_pylist()).isdisjoint(ack2["file"].to_pylist())
-    # all 6 'a'-rows recoverable from the acked files (no silent loss)
+    # all 6 'a'-rows recoverable from the acked (file, off, len) ranges
     total = 0
     for ack in (ack1, ack2):
-        for pid, fname in zip(ack["pid"].to_pylist(), ack["file"].to_pylist()):
+        for pid, fname, off, ln in zip(
+            ack["pid"].to_pylist(),
+            ack["file"].to_pylist(),
+            ack["off"].to_pylist(),
+            ack["bytes"].to_pylist(),
+        ):
             if pid.startswith("a-") or pid == "a":
-                t = read_ipc_table(os.path.join(exdir, pid, fname))
+                t = read_ipc_range(os.path.join(exdir, fname), off, ln)
                 assert t["v"].to_pylist() == [1, 3, 5]
                 total += t.num_rows
     assert total == 6
+    # slice offsets partition the map file exactly (no gaps/overlap)
+    sizes = ack1["bytes"].to_pylist()
+    offs = ack1["off"].to_pylist()
+    assert offs == [0, sizes[0]]
+    fpath = os.path.join(exdir, ack1["file"].to_pylist()[0])
+    assert os.path.getsize(fpath) == sum(sizes)
     # commit-by-ack: an orphan file (failed attempt) is simply never read
-    a_pid = ack1["pid"].to_pylist()[0]
-    orphan = os.path.join(exdir, a_pid, "deadbeef-3.arrow")
+    orphan = os.path.join(exdir, "deadbeef-3.arrow")
     with open(orphan, "wb") as f:
         f.write(b"garbage")
     acked = set(ack1["file"].to_pylist()) | set(ack2["file"].to_pylist())

@@ -300,7 +300,14 @@ def encode_dataset(
         _mark("spill")
         if len(ack_df):
             grouped = ack_df.groupby("pid", sort=True)
-            pid_files = grouped["file"].apply(sorted).to_dict()
+            # (file, offset, length) ranges into the per-batch map-output
+            # files — sorted for a deterministic read order per partition
+            pid_files = {
+                pid: sorted(
+                    zip(g["file"], g["off"].astype(int), g["bytes"].astype(int))
+                )
+                for pid, g in grouped
+            }
             pid_raw = grouped["raw"].first().to_dict()
             pid_bytes = grouped["bytes"].sum().to_dict()
             pids = sorted(pid_files)
@@ -336,7 +343,7 @@ def encode_dataset(
                 {
                     "pids": bins[j],
                     "raws": [pid_raw[p] for p in bins[j]],
-                    "files": [list(pid_files[p]) for p in bins[j]],
+                    "files": [[list(r) for r in pid_files[p]] for p in bins[j]],
                 }
                 for j in heavy_first
                 if bins[j]

@@ -46,6 +46,7 @@ ACK_SCHEMA = pa.schema(
         ("pid", pa.string()),
         ("raw", pa.string()),
         ("file", pa.string()),
+        ("off", pa.int64()),
         ("rows", pa.int64()),
         ("bytes", pa.int64()),
     ]
@@ -77,15 +78,26 @@ def _ipc_table_buffer(table: pa.Table, compression: str | None = "default") -> p
     return sink.getvalue()
 
 
-def read_ipc_table(path: str) -> pa.Table:
-    with pa.ipc.open_stream(pa.memory_map(path)) as r:
+def read_ipc_range(path: str, off: int, length: int) -> pa.Table:
+    """One partition slice out of a map-output file: zero-copy slice of the
+    memory map + IPC stream open on the slice."""
+    buf = pa.memory_map(path).read_buffer()
+    with pa.ipc.open_stream(buf.slice(off, length)) as r:
         return r.read_all()
 
 
 class SpillPartitions:
-    """map_batches stage: split a batch by ``_part`` and write each slice as a
-    uniquely-named chunk in the partition's exchange directory. Emits one ack
-    row per chunk; downstream reads ONLY acked files (commit-by-ack)."""
+    """map_batches stage: split a batch by ``_part`` and write ONE map-output
+    file per batch — every partition slice IPC-serialized back-to-back, with
+    per-slice (offset, length) recorded in the ack rows (the Spark-style
+    shuffle-file layout). Emits one ack row per slice; downstream reads ONLY
+    acked (file, offset, length) ranges (commit-by-ack).
+
+    Round-4: replaces one-file-per-(batch × partition) — at 256 partitions
+    the per-chunk create/rename/close overhead alone cost ~4.5 ms × 36k
+    chunks ≈ 160 worker-seconds on the 8M-row scaling fixture; one file per
+    batch cuts the filesystem ops by the partition count while keeping the
+    same retry story (a failed attempt's orphan FILE is simply never read)."""
 
     def __init__(self, exchange_dir: str):
         self.exchange_dir = exchange_dir
@@ -103,33 +115,37 @@ class SpillPartitions:
         boundaries = np.flatnonzero(np.diff(sorted_codes)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(codes)]])
-        acks = {k: [] for k in ("pid", "raw", "file", "rows", "bytes")}
+        acks = {k: [] for k in ("pid", "raw", "off", "rows", "bytes")}
         data = sorted_batch.drop_columns([PART_COL])
+        bufs = []
+        off = 0
         for s, e in zip(starts, ends):
             raw_pid = str(labels[sorted_codes[s]])
             pid = sanitize_partition_id(raw_pid)
             sl = data.slice(int(s), int(e - s))
             buf = _ipc_table_buffer(sl)
-            d = os.path.join(self.exchange_dir, pid)
-            os.makedirs(d, exist_ok=True)
-            # unique name per written chunk: identical-content slices from
-            # different batches never collide; a retried task's orphans are
-            # excluded because only THIS attempt's ack rows are consumed
-            name = f"{uuid.uuid4().hex}-{sl.num_rows}.arrow"
-            tmp = os.path.join(d, f".tmp-{name}")
-            with open(tmp, "wb") as f:
-                f.write(buf)
-            os.replace(tmp, os.path.join(d, name))
+            bufs.append(buf)
             acks["pid"].append(pid)
             acks["raw"].append(raw_pid)
-            acks["file"].append(name)
+            acks["off"].append(off)
             acks["rows"].append(sl.num_rows)
             acks["bytes"].append(len(buf))
+            off += len(buf)
+        # unique name per written map file: identical-content batches never
+        # collide; a retried task's orphan file is excluded because only
+        # THIS attempt's ack rows are consumed
+        name = f"{uuid.uuid4().hex}-{batch.num_rows}.arrow"
+        tmp = os.path.join(self.exchange_dir, f".tmp-{name}")
+        with open(tmp, "wb") as f:
+            for buf in bufs:
+                f.write(buf)
+        os.replace(tmp, os.path.join(self.exchange_dir, name))
         return pa.table(
             {
                 "pid": pa.array(acks["pid"], type=pa.string()),
                 "raw": pa.array(acks["raw"], type=pa.string()),
-                "file": pa.array(acks["file"], type=pa.string()),
+                "file": pa.array([name] * len(bufs), type=pa.string()),
+                "off": pa.array(acks["off"], type=pa.int64()),
                 "rows": pa.array(acks["rows"], type=pa.int64()),
                 "bytes": pa.array(acks["bytes"], type=pa.int64()),
             }
@@ -150,10 +166,14 @@ class ExchangeEncoder(PartitionEncoder):
 
         outs = []
         for row in batch.to_pylist():
-            for pid, raw_pid, files in zip(row["pids"], row["raws"], row["files"]):
-                d = os.path.join(self.exchange_dir, pid)
+            for pid, raw_pid, ranges in zip(row["pids"], row["raws"], row["files"]):
                 t0 = _time.monotonic()
-                tables = [read_ipc_table(os.path.join(d, f)) for f in sorted(files)]
+                tables = [
+                    read_ipc_range(
+                        os.path.join(self.exchange_dir, f), int(off), int(ln)
+                    )
+                    for f, off, ln in sorted(ranges, key=lambda r: (r[0], r[1]))
+                ]
                 # no table-level combine_chunks: encode_partition combines
                 # per column anyway, and the table-level pass duplicated the
                 # whole partition once more (measured ~0.2 s/partition of

@@ -327,7 +327,8 @@ def encode_dataset(
             sizes = [int(pid_bytes[p]) for p in pids]
             order = sorted(range(len(pids)), key=lambda i: -sizes[i])
             slots = max(pool, int(ray.cluster_resources().get("CPU", pool)))
-            n_bins = max(1, min(slots * 12, len(pids)))
+            bins_per_slot = int(os.environ.get("UPXR_WAVE_BINS_PER_SLOT", "12"))
+            n_bins = max(1, min(slots * bins_per_slot, len(pids)))
             bins: list[list[str]] = [[] for _ in range(n_bins)]
             loads = [0] * n_bins
             for i in order:

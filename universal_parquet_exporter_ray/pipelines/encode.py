@@ -340,17 +340,24 @@ def encode_dataset(
             # balancing exists to avoid (measured ~30% wave tail when the
             # largest partitions landed at the end of the queue)
             heavy_first = sorted(range(n_bins), key=lambda j: -loads[j])
+            import functools
+            import json as _json
+
+            # ranges JSON-encoded per pid: a nested [str,int,int] list makes
+            # from_items' Arrow conversion fail over to object blocks (error
+            # spam + pickle overhead); a flat string column stays Arrow
             items = [
                 {
                     "pids": bins[j],
                     "raws": [pid_raw[p] for p in bins[j]],
-                    "files": [[list(r) for r in pid_files[p]] for p in bins[j]],
+                    "files": [
+                        _json.dumps([list(r) for r in pid_files[p]])
+                        for p in bins[j]
+                    ],
                 }
                 for j in heavy_first
                 if bins[j]
             ]
-            import functools
-            import json as _json
 
             from ..stages.exchange import exchange_encode_task
 

@@ -164,9 +164,14 @@ class ExchangeEncoder(PartitionEncoder):
     def __call__(self, batch) -> pa.Table:
         import time as _time
 
+        import json as _json
+
         outs = []
         for row in batch.to_pylist():
-            for pid, raw_pid, ranges in zip(row["pids"], row["raws"], row["files"]):
+            for pid, raw_pid, ranges_json in zip(
+                row["pids"], row["raws"], row["files"]
+            ):
+                ranges = _json.loads(ranges_json)
                 t0 = _time.monotonic()
                 tables = [
                     read_ipc_range(

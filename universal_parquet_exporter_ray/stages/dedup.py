@@ -17,6 +17,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 MERSENNE = np.uint64((1 << 61) - 1)
 N_PERMS = 64
@@ -325,21 +326,25 @@ class PairShingleEmit:
         self.w = w
         self.text_col = text_col
 
-    _EMPTY = {
-        "doc_a": "int64",
-        "doc_b": "int64",
-        "pq": "int64",
-        "doc_id": "int64",
-        "sh": "object",
-        "n_sh": "int64",
-    }
+    # empty batches return a TYPED arrow table: a size-0 pandas object
+    # column ('sh') trips Ray's pandas block-size estimator
+    # ("cannot call `vectorize` on size 0 inputs"); arrow blocks are sized
+    # natively and mixed pandas/arrow blocks are fine within one operator
+    _EMPTY_SCHEMA = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("pq", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("sh", pa.binary()),
+            ("n_sh", pa.int64()),
+        ]
+    )
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
         hits = df[["doc_id", self.text_col]].merge(self.members, on="doc_id")
         if hits.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=t) for c, t in self._EMPTY.items()}
-            )
+            return self._EMPTY_SCHEMA.empty_table()
         uniq = hits.drop_duplicates("doc_id")
         H, cnt = batch_word_shingle_sets(list(uniq[self.text_col]), self.w)
         ends = np.cumsum(cnt)
@@ -373,7 +378,14 @@ class ShingleBlobStage:
         self.w = w
         self.text_col = text_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("sh", pa.binary()), ("n_sh", pa.int64())]
+    )
+
+    def __call__(self, df: pd.DataFrame):
+        if df.empty:
+            # typed arrow empty — see PairShingleEmit._EMPTY_SCHEMA
+            return self._EMPTY_SCHEMA.empty_table()
         H, sizes = batch_word_shingle_sets(list(df[self.text_col]), self.w)
         ends = np.cumsum(sizes)
         Hi = H.view(np.int64)
@@ -1011,7 +1023,9 @@ def verify_pairs(
         # each group. role 0 = blob row, role 1 = membership row; sentinel
         # zeros keep every column non-null int64/bytes so no float upcast
         # can corrupt large ids.
-        def tag_blobs(df: pd.DataFrame) -> pd.DataFrame:
+        def tag_blobs(df: pd.DataFrame):
+            if df.empty:
+                return _TAGGED_SCHEMA.empty_table()
             ids = df["doc_id"].to_numpy(np.int64)
             z = np.zeros(len(df), dtype=np.int64)
             return pd.DataFrame(
@@ -1026,7 +1040,9 @@ def verify_pairs(
                 }
             )
 
-        def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+        def tag_members(df: pd.DataFrame):
+            if df.empty:
+                return _TAGGED_SCHEMA.empty_table()
             ids = df["doc_id"].to_numpy(np.int64)
             return pd.DataFrame(
                 {
@@ -1044,13 +1060,11 @@ def verify_pairs(
             members_ds.map_batches(tag_members, batch_format="pandas")
         )
 
-        def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        def join_group(g: pd.DataFrame):
             m = g[g["role"].to_numpy() == 1]
             b = g[g["role"].to_numpy() == 0]
             if m.empty or b.empty:
-                return pd.DataFrame(
-                    {c: pd.Series([], dtype=t) for c, t in PairShingleEmit._EMPTY.items()}
-                )
+                return PairShingleEmit._EMPTY_SCHEMA.empty_table()
             mm = m[["doc_id", "doc_a", "doc_b"]].merge(
                 b[["doc_id", "sh", "n_sh"]], on="doc_id"
             )
@@ -1063,6 +1077,20 @@ def verify_pairs(
     return emitted.groupby("pq").map_groups(
         pair_blob_partition_jaccard, batch_format="pandas"
     )
+
+
+# typed empty for the tagged-union join stages (see PairShingleEmit note)
+_TAGGED_SCHEMA = pa.schema(
+    [
+        ("dp", pa.int64()),
+        ("role", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("sh", pa.binary()),
+        ("n_sh", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+    ]
+)
 
 
 def _doc_part(ids: np.ndarray, n_parts: int) -> np.ndarray:

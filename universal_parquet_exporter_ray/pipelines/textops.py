@@ -1447,10 +1447,9 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
     SQL twin (integer-scaled cosines, vec_id tie-break) is a real oracle."""
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qmat = _fetch_queries(sf_dir, n_queries)
-    qref = ray.put((qids, qmat))
     cands = ds.map_batches(
         BatchTopKCosine,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        fn_constructor_kwargs={"queries": (qids, qmat), "k": k},
         batch_format="pandas",
         concurrency=(1, 4),
     )
@@ -1517,13 +1516,11 @@ def _ivf_topk(
     mat = _normalize(np.stack(fit_df["embedding"].to_numpy()).astype(np.float64))
     centroids = kmeans_fit(mat, n_clusters)
     qids, qmat = _fetch_queries(sf_dir, n_queries)
-    qref = ray.put((qids, qmat))
-    cref = ray.put(centroids)
     cands = ds.map_batches(
         IvfTopKCosine,
         fn_constructor_kwargs={
-            "queries_ref": qref,
-            "centroids_ref": cref,
+            "queries": (qids, qmat),
+            "centroids": centroids,
             "k": k,
             "nprobe": nprobe,
         },
@@ -1605,13 +1602,11 @@ def _ivf_pruned(
     needed = np.unique(probes)
     files = manifest[manifest["bucket"].isin(needed)]["path"].tolist()
     pruned = ray.data.read_parquet(files)
-    qref = ray.put((qids, qmat))
-    cref = ray.put(centroids)
     cands = pruned.map_batches(
         IvfTopKCosine,
         fn_constructor_kwargs={
-            "queries_ref": qref,
-            "centroids_ref": cref,
+            "queries": (qids, qmat),
+            "centroids": centroids,
             "k": k,
             "nprobe": nprobe,
         },

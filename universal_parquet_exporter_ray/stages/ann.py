@@ -2,9 +2,10 @@
 (``list<float>``).
 
 Baseline: brute-force cosine top-k — the query matrix is normalized once on
-the driver, ``ray.put`` once, and every batch does ONE numpy matmul against
-it, emitting only its batch-local top-k candidates; a final tiny per-query
-reduction merges candidates. At 100 TB the same shape holds (candidates are
+the driver and broadcast once per actor pool (by-value constructor kwargs:
+Ray stores them once and every actor fetches the same copy), and every batch
+does ONE numpy matmul against it, emitting only its batch-local top-k
+candidates; a final tiny per-query reduction merges candidates. At 100 TB the same shape holds (candidates are
 k × #batches rows, not the corpus); the scale path adds an IVF-style
 pre-bucketing (``kmeans_bucket``) so each batch only scores queries assigned
 to its bucket.
@@ -50,11 +51,17 @@ def _empty_pairs() -> pd.DataFrame:
 class BatchTopKCosine:
     """map_batches stage: emit batch-local top-k (query_id, vec_id, cos) rows.
 
-    ``queries_ref``: ray.put of (query_ids int64 array, normalized float64
-    query matrix) — fetched once per actor in __init__."""
+    ``queries``: (query_ids int64 array, normalized float64 query matrix),
+    passed BY VALUE in fn_constructor_kwargs — Ray ships it to the object
+    store once per pool and each actor deserializes it once in __init__;
+    no user-held ObjectRef, so actor restarts can't race a lost ref
+    (ray#53727). An ObjectRef is still accepted for callers that already
+    ``ray.put`` a shared copy."""
 
-    def __init__(self, queries_ref, k: int, exclude_self: bool = True):
-        self.qids, self.qmat = ray.get(queries_ref)
+    def __init__(self, queries, k: int, exclude_self: bool = True):
+        self.qids, self.qmat = (
+            ray.get(queries) if isinstance(queries, ray.ObjectRef) else queries
+        )
         self.k = k
         self.exclude_self = exclude_self
 
@@ -124,9 +131,14 @@ class IvfTopKCosine:
     (batch-local candidates → per-query merge), but each batch scores ~
     nprobe/k of its rows — the scale path when brute force is too wide."""
 
-    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int = 4):
-        self.qids, self.qmat = ray.get(queries_ref)
-        self.centroids = ray.get(centroids_ref)
+    def __init__(self, queries, centroids, k: int, nprobe: int = 4):
+        # by-value broadcast kwargs, ref-tolerant — see BatchTopKCosine
+        self.qids, self.qmat = (
+            ray.get(queries) if isinstance(queries, ray.ObjectRef) else queries
+        )
+        self.centroids = (
+            ray.get(centroids) if isinstance(centroids, ray.ObjectRef) else centroids
+        )
         self.k = k
         qsims = self.qmat @ self.centroids.T
         order = np.argsort(-qsims, axis=1)
@@ -265,8 +277,11 @@ class AssignBucket:
     """map_batches stage: stamp each vector's coarse-quantizer bucket
     (argmax cosine against the broadcast centroids)."""
 
-    def __init__(self, centroids_ref):
-        self.centroids = ray.get(centroids_ref)
+    def __init__(self, centroids):
+        # by-value broadcast kwarg, ref-tolerant — see BatchTopKCosine
+        self.centroids = (
+            ray.get(centroids) if isinstance(centroids, ray.ObjectRef) else centroids
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -292,10 +307,9 @@ def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    cref = ray.put(centroids)
     assigned = ds.map_batches(
         AssignBucket,
-        fn_constructor_kwargs={"centroids_ref": cref},
+        fn_constructor_kwargs={"centroids": centroids},
         batch_format="pandas",
         concurrency=(1, 4),
     )

@@ -25,6 +25,7 @@ from universal_parquet_exporter_ray.stages.salting import (
 from universal_parquet_exporter_ray.stages.text import (
     FingerprintStage,
     LangIdStage,
+    ProbeScanStage,
     quality_score,
     token_count,
 )
@@ -177,6 +178,71 @@ def test_fingerprint_deterministic_and_sensitive():
     assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
     df2 = pd.DataFrame({"doc_id": [3], "text": ["entirely different content here"]})
     assert st(df2).fingerprint.iloc[0] != out.fingerprint.iloc[0]
+
+
+def _probe_brute(docs, probes):
+    return {
+        (did, pid) for did, t in docs for pid, p in probes if p and p in t
+    }
+
+
+def test_probe_scan_edge_cases_match_brute_force():
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "abcdefghij" * 5),  # probe occurs multiple times
+        (2, "héllo wörld \U0001f30d unicode résumé text"),
+        (3, ""),  # empty text
+        (4, "xyz"),  # shorter than long probes, equal to one probe
+        (5, "boundaryAAA"),
+        (6, "BBBboundary"),  # "AAABBB" spans the 5|6 concat seam: must NOT hit
+        (7, "overlap overlap overlap"),
+    ]
+    probes = [
+        (100, "quick brown"),
+        (101, "abcdefghijabcdef"),
+        (102, "wörld \U0001f30d"),
+        (103, "AAABBB"),
+        (104, "xyz"),
+        (105, "overlap"),
+        (106, "dog"),  # suffix of a doc
+        (107, "the"),  # prefix of a doc
+        (108, "zzz-not-present"),
+        (109, ""),  # empty probe is ignored, not a match-everything
+    ]
+    df = pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}
+    )
+    got = set(map(tuple, ProbeScanStage(probes=probes)(df).to_numpy()))
+    assert got == _probe_brute(docs, probes)
+    # typed empty frames on empty input
+    empty = ProbeScanStage(probes=probes)(df.iloc[0:0])
+    assert list(empty.columns) == ["doc_id", "probe_id"]
+    assert empty.doc_id.dtype == np.int64 and len(empty) == 0
+
+
+def test_probe_scan_scales_past_broadcast_loop():
+    """2000 variable-length probes, exact parity with the per-probe
+    containment loop — the 10^4-10^6-probe regime path is real code, and
+    its per-byte work is one RK pass per distinct length, not per probe."""
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdef "))
+    texts = [
+        "".join(rng.choice(alpha, size=rng.integers(20, 300)))
+        for _ in range(200)
+    ]
+    docs = list(enumerate(texts))
+    probes = []
+    for i in range(2000):
+        t = texts[int(rng.integers(0, len(texts)))]
+        ln = int(rng.integers(3, 12))
+        if len(t) > ln:
+            s = int(rng.integers(0, len(t) - ln))
+            probes.append((i, t[s : s + ln]))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = set(map(tuple, ProbeScanStage(probes=probes)(df).to_numpy()))
+    assert got == _probe_brute(docs, probes)
 
 
 # ---- multimodal --------------------------------------------------------

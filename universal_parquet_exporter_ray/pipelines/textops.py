@@ -27,6 +27,7 @@ from ..stages.multimodal import MediaDecodeStage, to_media_table
 from ..stages.text import (
     FingerprintStage,
     LangIdStage,
+    ProbeScanStage,
     RedactStage,
     quality_score,
     repetition_signals,
@@ -1048,11 +1049,14 @@ def q_contamination_scan(sf_dir: str, n_probes: int = 5):
     find every document containing any probe string from a (broadcast)
     benchmark set. Probes here are deterministic 40-char excerpts of the
     first ``n_probes`` docs (fetched via parquet predicate pushdown — no
-    corpus scan, no external data); the corpus-sized side streams through
-    one vectorized ``str.contains`` pass per probe. At a real benchmark's
-    probe count (10⁴–10⁶), swap the per-probe loop for an Aho–Corasick
-    automaton built once per actor in ``__init__`` — the batch shape,
-    broadcast, and emit layout stay identical."""
+    corpus scan, no external data). The corpus streams through
+    ``stages/text.py::ProbeScanStage``: ONE vectorized Rabin–Karp window
+    pass per batch per distinct probe length, candidate lookup by binary
+    search into the sorted probe-hash index, byte-exact verification — so
+    per-byte scan cost is independent of the probe COUNT, which is what
+    the real decontamination regime (10⁴–10⁶ probes from published
+    benchmark suites) requires. The probe index builds once per actor in
+    ``__init__`` (probes passed by value in constructor kwargs)."""
     import pyarrow.parquet as pq_
 
     probe_tbl = pq_.read_table(
@@ -1064,32 +1068,13 @@ def q_contamination_scan(sf_dir: str, n_probes: int = 5):
     probes = [
         (int(r.doc_id), r.text[16:56]) for r in probe_tbl.itertuples()
     ]
-    pref = ray.put(probes)
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        ps = ray.get(pref)
-        out_d, out_p = [], []
-        for pid, probe in ps:
-            hit = df["text"].str.contains(probe, regex=False)
-            ids = df.loc[hit, "doc_id"].to_numpy(dtype=np.int64)
-            out_d.append(ids)
-            out_p.append(np.full(len(ids), pid, dtype=np.int64))
-        if not out_d:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "probe_id": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "doc_id": np.concatenate(out_d),
-                "probe_id": np.concatenate(out_p),
-            }
-        )
-
-    return ds.map_batches(scan, batch_format="pandas")
+    return ds.map_batches(
+        ProbeScanStage,
+        fn_constructor_kwargs={"probes": probes},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
 
 
 REDACT_ORACLE_SQL = """

@@ -200,3 +200,135 @@ class RedactStage:
         out["red_text"] = red
         out["n_hits"] = n_hits
         return out
+
+
+# --- Multi-probe containment scan (benchmark decontamination at scale) ----
+
+_RK_BASE = 1099511628211  # odd (the FNV-1 64-bit prime), so inv mod 2^64 exists
+_RK_INV = pow(_RK_BASE, -1, 1 << 64)
+
+
+def _rk_prefix_hashes(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial prefix sums of a uint8 byte array in WRAPPING uint64
+    arithmetic: ``P[k] = sum_{j<k} b[j]*B^j  (mod 2^64)`` plus the inverse
+    power table ``invpw[i] = B^-i``. All vectorized; overflow wrap IS the
+    modulus, so no bigint path."""
+    n = len(b)
+    pw = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        pw[1:] = np.uint64(_RK_BASE)
+        np.cumprod(pw, out=pw)  # wraps mod 2^64 by C semantics
+    invpw = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        invpw[1:] = np.uint64(_RK_INV)
+        np.cumprod(invpw, out=invpw)
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b.astype(np.uint64) * pw, out=prefix[1:])
+    return prefix, invpw
+
+
+def _rk_hash_bytes(p: bytes) -> int:
+    """Normalized hash of a whole byte string: ``sum p[j]*B^j (mod 2^64)`` —
+    exactly what a window at position i reads after the ``B^-i`` shift."""
+    a = np.frombuffer(p, dtype=np.uint8).astype(np.uint64)
+    pw = np.ones(len(a), dtype=np.uint64)
+    if len(a) > 1:
+        pw[1:] = np.uint64(_RK_BASE)
+        np.cumprod(pw, out=pw)
+    return int((a * pw).sum(dtype=np.uint64))
+
+
+class ProbeScanStage:
+    """Find every (document, probe) containment pair for a broadcast probe
+    set — the benchmark-decontamination scan — with per-batch cost
+    INDEPENDENT of the probe count.
+
+    This is the vectorizable cousin of the Aho–Corasick automaton the
+    round-3 docstring promised: all texts in the batch are concatenated
+    into one UTF-8 byte array, every window hash (one per byte position,
+    per distinct probe LENGTH) is computed in a single wrapping-uint64
+    polynomial-prefix-sum pass, candidates are found with a binary search
+    into the sorted probe-hash array (``np.searchsorted``), and every
+    candidate is verified byte-exact before emission. Hash collisions and
+    windows that straddle a document boundary only cost a rejected verify,
+    so the output is EXACT containment — identical to a per-probe
+    ``str.contains`` loop and to the SQL ``contains()`` oracle. Scan work
+    is O(batch bytes x #distinct probe lengths + hits*log #probes): at the
+    real decontamination regime (10^4-10^6 probes from published benchmark
+    suites) the probe count appears only in the one-time per-actor index
+    build, never in the per-byte loop.
+
+    Actor-pool stage: pass the probe list (``[(probe_id, text), ...]``) by
+    value in ``fn_constructor_kwargs``; the per-length hash indexes build
+    once per actor in ``__init__``. UTF-8 byte matching equals str
+    containment because UTF-8 is self-synchronizing (a byte-exact match of
+    a whole valid sequence is always codepoint-aligned).
+    """
+
+    def __init__(self, probes: list[tuple[int, str]]):
+        # per distinct length: (sorted unique hash array, hash -> [(pid, bytes)])
+        self.by_len: dict[int, tuple[np.ndarray, dict[int, list[tuple[int, bytes]]]]] = {}
+        groups: dict[int, dict[int, list[tuple[int, bytes]]]] = {}
+        for pid, text in probes:
+            pb = text.encode("utf-8")
+            if not pb:
+                continue
+            groups.setdefault(len(pb), {}).setdefault(
+                _rk_hash_bytes(pb), []
+            ).append((int(pid), pb))
+        for length, bucket in groups.items():
+            keys = np.array(sorted(bucket), dtype=np.uint64)
+            self.by_len[length] = (keys, bucket)
+
+    @staticmethod
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "probe_id": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or not self.by_len:
+            return self._empty()
+        blobs = [t.encode("utf-8") if isinstance(t, str) else b"" for t in df["text"]]
+        big = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        if len(big) == 0:
+            return self._empty()
+        ends = np.cumsum(np.fromiter((len(x) for x in blobs), dtype=np.int64, count=len(blobs)))
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        prefix, invpw = _rk_prefix_hashes(big)
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for length, (keys, bucket) in self.by_len.items():
+            n_win = len(big) - length + 1
+            if n_win <= 0:
+                continue
+            win = (prefix[length:] - prefix[:-length]) * invpw[:n_win]
+            pos = np.searchsorted(keys, win)
+            np.clip(pos, 0, len(keys) - 1, out=pos)
+            cand = np.nonzero(keys[pos] == win)[0]
+            if len(cand) == 0:
+                continue
+            # window must sit entirely inside one document
+            d = np.searchsorted(ends, cand, side="right")
+            inside = cand + length <= ends[d]
+            cand, d = cand[inside], d[inside]
+            hits_d: list[int] = []
+            hits_p: list[int] = []
+            raw = big.tobytes()
+            for i, di in zip(cand.tolist(), d.tolist()):
+                for pid, pb in bucket[int(win[i])]:
+                    if raw[i : i + length] == pb:
+                        hits_d.append(int(doc_ids[di]))
+                        hits_p.append(pid)
+            if hits_d:
+                out_d.append(np.asarray(hits_d, dtype=np.int64))
+                out_p.append(np.asarray(hits_p, dtype=np.int64))
+        if not out_d:
+            return self._empty()
+        pairs = np.unique(
+            np.stack([np.concatenate(out_d), np.concatenate(out_p)], axis=1), axis=0
+        )
+        return pd.DataFrame({"doc_id": pairs[:, 0], "probe_id": pairs[:, 1]})

@@ -402,12 +402,15 @@ def run_scaling() -> dict:
     pair = os.environ.get("UPXR_SCALING_PAIR", "4,16")
     n_lo, n_hi = (int(x) for x in pair.split(","))
     reps = int(os.environ.get("UPXR_SCALING_REPS", "3"))
-    # pre-generate the fixture once at full parallelism
-    import ray
+    # pre-generate the fixture once at full parallelism — but only pay for a
+    # Ray session when it's actually missing (the init/shutdown pair around a
+    # no-op check has hung on this VM's bad hypervisor windows)
+    if not os.path.exists(os.path.join(SCALING_FIXTURE, "_DONE")):
+        import ray
 
-    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
-    _gen_scaling_fixture()
-    ray.shutdown()
+        ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+        _gen_scaling_fixture()
+        ray.shutdown()
 
     # INTERLEAVE the two levels (lo, hi, lo, hi, ...): external load on this
     # VM arrives in multi-minute windows, so running all lo-reps then all

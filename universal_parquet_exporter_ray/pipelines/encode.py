@@ -367,11 +367,26 @@ def encode_dataset(
                 exchange_dir=exchange_dir,
                 lineage_json=_json.dumps(full_lineage, sort_keys=True),
             )
-            pid_ds = ray.data.from_items(items, override_num_blocks=len(items))
-            manifest = pid_ds.map_batches(
-                encode_fn, batch_format="pyarrow", batch_size=None
-            )
-            manifest.to_pandas()
+            if os.environ.get("UPXR_WAVE_RAW", "0") == "1":
+                # experimental: submit each bin as a plain Ray task instead
+                # of a Ray Data pipeline — measures the Dataset executor's
+                # fixed overhead on the wave (results identical: the wave's
+                # Dataset output is discarded; the manifest re-reads disk)
+                import pyarrow as _pa
+
+                @ray.remote(num_cpus=1)
+                def _bin_task(item):
+                    return encode_fn(_pa.Table.from_pylist([item]))
+
+                ray.get([_bin_task.remote(it) for it in items])
+            else:
+                pid_ds = ray.data.from_items(
+                    items, override_num_blocks=len(items)
+                )
+                manifest = pid_ds.map_batches(
+                    encode_fn, batch_format="pyarrow", batch_size=None
+                )
+                manifest.to_pandas()
             _mark("encode_wave")
         shutil.rmtree(exchange_dir, ignore_errors=True)
     else:

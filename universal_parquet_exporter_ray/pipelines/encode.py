@@ -367,11 +367,16 @@ def encode_dataset(
                 exchange_dir=exchange_dir,
                 lineage_json=_json.dumps(full_lineage, sort_keys=True),
             )
-            if os.environ.get("UPXR_WAVE_RAW", "0") == "1":
-                # experimental: submit each bin as a plain Ray task instead
-                # of a Ray Data pipeline — measures the Dataset executor's
-                # fixed overhead on the wave (results identical: the wave's
-                # Dataset output is discarded; the manifest re-reads disk)
+            if os.environ.get("UPXR_WAVE_RAW", "1") == "1":
+                # default: submit each bin as a plain Ray task. The wave's
+                # Dataset output is discarded (the manifest re-reads disk),
+                # so the from_items/map_batches pipeline was purely an
+                # execution vehicle — and its streaming-executor setup/
+                # teardown costs ~1 s of wave wall at 16 workers in matched
+                # windows (6.2-6.9 s vs 7.1-8.3 s, identical task utime).
+                # Tasks retry like Dataset blocks (idempotent: atomic
+                # partition writes, manifest-last). UPXR_WAVE_RAW=0 restores
+                # the Ray Data path.
                 import pyarrow as _pa
 
                 @ray.remote(num_cpus=1)

@@ -27,7 +27,9 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_parquet_clean(
-    path: str, columns: Optional[list[str]] = None
+    path: str,
+    columns: Optional[list[str]] = None,
+    override_num_blocks: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """``read_parquet`` with an explicit metadata-free (projected) schema.
 
@@ -49,7 +51,9 @@ def read_parquet_clean(
                 break
     full = pq.read_schema(sample).remove_metadata()
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    blocks = int(os.environ.get("UPXR_READ_BLOCKS", "0")) or override_num_blocks
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return ray.data.read_parquet(path, columns=columns, schema=schema, **kw)
 
 
 def load_table(

@@ -85,6 +85,28 @@ class ZstdCodec(Codec):
         return ipc_deserialize(raw)
 
 
+class Zstd3Codec(ZstdCodec):
+    """zstd level 3 as a separately-trialed codec for big string payloads.
+
+    Measured on the synthetic source-code corpus (83 MB `content` buffer):
+    level 3 compresses 2.6× faster than level 6 (167 vs 65 MB/s/core) at
+    5.7% larger output (ratio 0.2613 vs 0.2473); decode speed is level-
+    independent. At 16 concurrent workers the level-6 match search is also
+    the engine's most memory-bandwidth-hungry kernel, so the speedup
+    compounds under contention. The selector cost_factor (0.93) expresses
+    the tradeoff: prefer level 3 unless level 6 buys MORE than ~7% size —
+    true for the dominant source-text column, false for small columns where
+    the extra ratio is nearly free in wall-time. The encoded payload is
+    decodable by the plain zstd decode path (frame carries its own level),
+    inherited unchanged."""
+
+    name = "zstd3"
+    cost_factor = 0.93
+
+    def __init__(self):
+        super().__init__(level=3)
+
+
 class ByteShuffleZstdCodec(Codec):
     """Byte-transpose + zstd for fixed-width numerics: grouping the k-th
     byte of every value together exposes the low-entropy exponent/high

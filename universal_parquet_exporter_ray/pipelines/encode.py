@@ -416,10 +416,13 @@ def encode_dataset(
                 manifest.to_pandas()
             _mark("encode_wave")
         shutil.rmtree(exchange_dir, ignore_errors=True)
+        _mark("cleanup")
     else:
         raise ValueError(f"unknown shuffle mode {shuffle!r}")
     os.makedirs(out_dir, exist_ok=True)
-    return ray.data.from_arrow(read_manifest(out_dir).cast(MANIFEST_SCHEMA))
+    out = ray.data.from_arrow(read_manifest(out_dir).cast(MANIFEST_SCHEMA))
+    _mark("finalize")
+    return out
 
 
 def read_encoded(out_dir: str) -> "ray.data.Dataset":

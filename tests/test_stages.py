@@ -459,3 +459,48 @@ def test_ivf_bucketed_layout_prunes_reads(ray_session, tmp_path):
     # resume: a second build call with a complete manifest is a no-op read
     again = load_ivf_layout(out)
     assert again is not None and len(again[1]) == 8
+
+
+def test_read_manifest_promotes_old_schema(tmp_path):
+    """A manifest file written before a column existed (schema evolution,
+    e.g. pre-zonemaps outputs) must read back with that column as nulls —
+    a bare multi-file read takes the FIRST file's schema and silently
+    drops later columns (pyarrow 16 behavior, verified)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.state.manifest import (
+        MANIFEST_SCHEMA,
+        manifest_path,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "out")
+    mdir = manifest_path(out)
+    import os
+
+    os.makedirs(mdir)
+    full = {
+        "partition_id": "p1",
+        "n_rows": 10,
+        "n_columns": 2,
+        "input_bytes": 100,
+        "encoded_bytes": 30,
+        "ratio": 0.3,
+        "codecs": "{}",
+        "lineage": "{}",
+        "zonemaps": "{}",
+        "wall_s": 0.1,
+    }
+    old = {k: v for k, v in full.items() if k != "zonemaps"}
+    old["partition_id"] = "p0"
+    # old-schema file sorts FIRST so a naive read would adopt its schema
+    pq.write_table(pa.Table.from_pylist([old]), os.path.join(mdir, "a_p0.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist([full], schema=MANIFEST_SCHEMA),
+        os.path.join(mdir, "b_p1.parquet"),
+    )
+    t = read_manifest(out)
+    assert "zonemaps" in t.schema.names
+    by_pid = dict(zip(t["partition_id"].to_pylist(), t["zonemaps"].to_pylist()))
+    assert by_pid["p0"] is None and by_pid["p1"] == "{}"

@@ -47,20 +47,9 @@ ENCODED_SCHEMA = pa.schema(
     ]
 )
 
-MANIFEST_SCHEMA = pa.schema(
-    [
-        ("partition_id", pa.string()),
-        ("n_rows", pa.int64()),
-        ("n_columns", pa.int64()),
-        ("input_bytes", pa.int64()),
-        ("encoded_bytes", pa.int64()),
-        ("ratio", pa.float64()),
-        ("codecs", pa.string()),      # json: column -> codec name
-        ("lineage", pa.string()),     # json: source + raw partition key
-        ("zonemaps", pa.string()),    # json: column -> {min,max,...} zone map
-        ("wall_s", pa.float64()),
-    ]
-)
+# re-export: the schema lives next to the manifest read/write protocol in
+# state/manifest.py (read_manifest pins it to avoid first-file-schema drops)
+from ..state.manifest import MANIFEST_SCHEMA  # noqa: F401
 
 ZONEMAP_STR_CAP = 80  # truncate long string bounds (lower bound stays sound)
 

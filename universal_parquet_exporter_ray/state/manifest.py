@@ -25,6 +25,26 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+# the manifest contract (one row per encoded partition); lives here, next to
+# the read/write protocol, so read_manifest can pin it explicitly — a plain
+# multi-file read takes the FIRST file's schema and silently drops columns
+# added since that file was written (measured: zonemaps lost on resume)
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_columns", pa.int64()),
+        ("input_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("ratio", pa.float64()),
+        ("codecs", pa.string()),      # json: column -> codec name
+        ("lineage", pa.string()),     # json: source + raw partition key
+        ("zonemaps", pa.string()),    # json: column -> {min,max,...} zone map
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
 def sanitize_partition_id(raw: str) -> str:
     """Filesystem-safe, collision-free partition id."""
     safe = "".join(c if c.isalnum() or c in "-._" else "_" for c in raw)
@@ -74,11 +94,21 @@ def read_manifest(out_dir: str) -> pa.Table:
     if not files:
         raise FileNotFoundError(f"no manifest rows under {manifest_path(out_dir)}")
     # one tiny file per partition: a sequential loop costs ~1 s fixed per
-    # thousand partitions on the driver — read with a thread pool instead
-    from concurrent.futures import ThreadPoolExecutor
+    # thousand partitions on the driver. The directory-level read (pyarrow
+    # dataset, C-threaded) is ~2× faster than a 32-thread Python pool
+    # (0.15 s vs 0.26 s at 273 files). The explicit MANIFEST_SCHEMA gives
+    # promote semantics on the fast path: files written before a column
+    # existed (e.g. zonemaps) read as nulls instead of silently dropping
+    # the column (a bare multi-file read takes the FIRST file's schema).
+    # The glob list (not the bare directory) keeps `.tmp-` orphans of
+    # interrupted atomic writes excluded explicitly.
+    try:
+        return pq.read_table(files, schema=MANIFEST_SCHEMA)
+    except Exception:
+        # e.g. a physical-type mismatch an old file can't cast from: fall
+        # back to the per-file promote path
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
-        tables = list(ex.map(pq.read_table, files))
-    # promote: resuming an output written before a manifest column existed
-    # (e.g. zonemaps) fills the missing column with nulls instead of failing
-    return pa.concat_tables(tables, promote_options="default")
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            tables = list(ex.map(pq.read_table, files))
+        return pa.concat_tables(tables, promote_options="default")

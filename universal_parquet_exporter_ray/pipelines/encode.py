@@ -312,8 +312,14 @@ def encode_dataset(
             # re-enter the object store between operators
             return spiller(drop_done(assign(batch)))
 
+        # UPXR_SPILL_BATCH: rows per fused spill call; "none" = one call per
+        # input block (avoids the ragged tail batch a fixed size cuts off
+        # every block, at the cost of batch-sized instead of block-sized
+        # peak memory per task)
+        _sb = os.environ.get("UPXR_SPILL_BATCH", "100000")
+        spill_batch = None if _sb.lower() == "none" else int(_sb)
         acks = ds.map_batches(
-            spill, batch_format="pyarrow", zero_copy_batch=True, batch_size=100_000
+            spill, batch_format="pyarrow", zero_copy_batch=True, batch_size=spill_batch
         )
         # barrier: one tiny ack row per chunk file. Stage 2 reads ONLY the
         # files named here (commit-by-ack): orphan chunks from failed task

@@ -215,7 +215,11 @@ def encode_dataset(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         from ..sources.tables import read_parquet_clean
 
-        ds = read_parquet_clean(source, override_num_blocks=4 * cpus)
+        # UPXR_READ_TASKS_PER_CPU: read-split granularity (campaign A/B
+        # knob — finer splits shave the spill straggler tail at the cost
+        # of per-task overhead)
+        rtpc = int(os.environ.get("UPXR_READ_TASKS_PER_CPU", "4"))
+        ds = read_parquet_clean(source, override_num_blocks=rtpc * cpus)
         if partition_by is not None:
             plan_ds = read_parquet_clean(source, columns=[partition_by])
     else:

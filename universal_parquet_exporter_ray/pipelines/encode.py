@@ -215,10 +215,12 @@ def encode_dataset(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         from ..sources.tables import read_parquet_clean
 
-        # UPXR_READ_TASKS_PER_CPU: read-split granularity (campaign A/B
-        # knob — finer splits shave the spill straggler tail at the cost
-        # of per-task overhead)
-        rtpc = int(os.environ.get("UPXR_READ_TASKS_PER_CPU", "4"))
+        # UPXR_READ_TASKS_PER_CPU: read-split granularity. Default 8 from
+        # the r4-Y campaign A/B: at the 4-CPU leg the coarser 4/cpu split
+        # left a measurable straggler tail (31.9 → 29.0 s record, flattest
+        # rep triple recorded), hi leg neutral; per-task overhead stays
+        # negligible to at least 8×32 tasks on the 8M-row fixture.
+        rtpc = int(os.environ.get("UPXR_READ_TASKS_PER_CPU", "8"))
         ds = read_parquet_clean(source, override_num_blocks=rtpc * cpus)
         if partition_by is not None:
             plan_ds = read_parquet_clean(source, columns=[partition_by])

@@ -219,9 +219,25 @@ def encode_dataset(
         # the r4-Y campaign A/B: at the 4-CPU leg the coarser 4/cpu split
         # left a measurable straggler tail (31.9 → 29.0 s record, flattest
         # rep triple recorded), hi leg neutral; per-task overhead stays
-        # negligible to at least 8×32 tasks on the 8M-row fixture.
+        # negligible to at least 8×32 tasks on the 8M-row fixture. A
+        # 16 MB/block floor keeps small inputs from shattering into
+        # per-task-overhead-sized blocks (measured +0.2 s spill on the
+        # 47 MB sf0.1 fixture at 256 blocks).
         rtpc = int(os.environ.get("UPXR_READ_TASKS_PER_CPU", "8"))
-        ds = read_parquet_clean(source, override_num_blocks=rtpc * cpus)
+        src_bytes = 0
+        try:
+            if os.path.isdir(source):
+                for f in os.listdir(source):
+                    if f.endswith(".parquet"):
+                        src_bytes += os.path.getsize(os.path.join(source, f))
+            else:
+                src_bytes = os.path.getsize(source)
+        except OSError:
+            pass
+        blocks = rtpc * cpus
+        if src_bytes:
+            blocks = min(blocks, max(cpus, src_bytes // (16 << 20)))
+        ds = read_parquet_clean(source, override_num_blocks=int(blocks))
         if partition_by is not None:
             plan_ds = read_parquet_clean(source, columns=[partition_by])
     else:

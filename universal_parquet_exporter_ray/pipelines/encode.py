@@ -74,6 +74,45 @@ def default_pool_size() -> int:
 PARTIAL_MERGE_LIMIT = 2_000_000
 
 
+def _list_parquet_files(source: str) -> list[str]:
+    if os.path.isdir(source):
+        out: list[str] = []
+        for root, _dirs, fnames in os.walk(source):
+            out += [os.path.join(root, f) for f in fnames if f.endswith(".parquet")]
+        return sorted(out)
+    return [source]
+
+
+def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
+    """Salt-plan key counts via raw per-file Ray tasks.
+
+    The Dataset path (read → map_batches(value_counts) → materialize →
+    to_pandas) pays ~0.5 s of streaming-executor setup/teardown for what is
+    a single-column count — a flat cost at every scaling leg. One plain task
+    per parquet file (read ONLY the key column, per-file value_counts)
+    returns partials the driver merges vectorized. Stringification matches
+    ``AssignPartitions.__call__`` exactly (pandas ``astype(str)``) so the
+    plan is byte-identical to the Dataset-path reconstruction verify uses.
+    """
+    import pandas as pd
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def count_file(path: str) -> "pd.Series":
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(path, columns=[key])[key].to_pandas()
+        return col.astype(str).value_counts()
+
+    parts = ray.get([count_file.remote(f) for f in files])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return {}
+    merged = pd.concat(parts).groupby(level=0, sort=False).sum()
+    return merged.astype(int).to_dict()
+
+
 def make_assigner(
     ds: "ray.data.Dataset",
     partition_by: Optional[str],
@@ -81,10 +120,18 @@ def make_assigner(
     target_rows: int,
     num_partitions: Optional[int] = None,
     partial_limit: int = PARTIAL_MERGE_LIMIT,
+    key_counts: Optional[dict[str, int]] = None,
 ) -> AssignPartitions:
     """Build the deterministic partition assigner. With ``partition_by``: a
     column-pruned groupby-count feeds the salt/merge plan (hot keys split,
-    small keys bin-packed); the plan dict broadcasts with the stage closure."""
+    small keys bin-packed); the plan dict broadcasts with the stage closure.
+    ``key_counts`` (precomputed, e.g. by ``_plan_key_counts``) skips the
+    Dataset counting pass entirely."""
+    if partition_by is not None and key_counts is not None:
+        salt_map, merge_map = build_partition_plan(key_counts, target_rows)
+        assign = AssignPartitions(partition_by, hash_cols, salt_map, 16, merge_map)
+        assign.total_rows = int(sum(key_counts.values()))
+        return assign
     if partition_by is not None:
         # per-batch partial value_counts (combiner) + tiny driver merge — a
         # full groupby shuffle for a single count column costs seconds of
@@ -201,17 +248,14 @@ def encode_dataset(
         _t0 = now
 
     tune_for_cluster()
-    plan_ds = None
     if isinstance(source, str):
         # Split the MAIN read to ~4 tasks per core: the fused read→spill
         # stage otherwise inherits one task per input file, and a file
         # count near the slot count leaves a half-wave straggler tail at
         # the high-parallelism leg (spill 8.1–14.1 s vs 5.8–6.4 s at 16
         # CPUs on the 40-file 8M-row fixture; row-group granularity caps
-        # the split). The PLAN pass keeps the coarse default — a fine
-        # split costs it 2-7 s of per-task overhead for a single-column
-        # count — and prunes to the key column at the read instead of
-        # relying on select_columns pushdown.
+        # the split). The salt-plan pass is raw per-file tasks
+        # (_plan_key_counts) — no Dataset executor, key column only.
         cpus = int(ray.cluster_resources().get("CPU", 8))
         from ..sources.tables import read_parquet_clean
 
@@ -224,36 +268,46 @@ def encode_dataset(
         # per-task-overhead-sized blocks (measured +0.2 s spill on the
         # 47 MB sf0.1 fixture at 256 blocks).
         rtpc = int(os.environ.get("UPXR_READ_TASKS_PER_CPU", "8"))
+        src_files = _list_parquet_files(source)
         src_bytes = 0
         try:
-            if os.path.isdir(source):
-                for f in os.listdir(source):
-                    if f.endswith(".parquet"):
-                        src_bytes += os.path.getsize(os.path.join(source, f))
-            else:
-                src_bytes = os.path.getsize(source)
+            src_bytes = sum(os.path.getsize(f) for f in src_files)
         except OSError:
             pass
         blocks = rtpc * cpus
         if src_bytes:
             blocks = min(blocks, max(cpus, src_bytes // (16 << 20)))
         ds = read_parquet_clean(source, override_num_blocks=int(blocks))
-        if partition_by is not None:
-            plan_ds = read_parquet_clean(source, columns=[partition_by])
     else:
         ds = _to_dataset(source)
+        src_files = []
     if hash_cols is None:
-        # schema() costs a full metadata pass + the first-op worker warmup —
-        # only pay it when the caller didn't name the tie-break columns
-        hash_cols = [ds.schema().names[0]]
+        if src_files:
+            # one footer read (~ms) instead of ds.schema()'s metadata pass;
+            # read_parquet_clean derives the Dataset schema from the same
+            # footer, so column order is identical by construction
+            import pyarrow.parquet as pq
+
+            hash_cols = [pq.read_schema(src_files[0]).names[0]]
+        else:
+            # schema() costs a full metadata pass + the first-op worker
+            # warmup — only pay it when the caller didn't name the
+            # tie-break columns and gave a Dataset, not a path
+            hash_cols = [ds.schema().names[0]]
     _mark("schema")
 
+    plan_counts = (
+        _plan_key_counts(src_files, partition_by)
+        if (partition_by is not None and src_files)
+        else None
+    )
     assign = make_assigner(
-        plan_ds if plan_ds is not None else ds,
+        ds,
         partition_by,
         hash_cols,
         target_rows_per_partition,
         num_partitions,
+        key_counts=plan_counts,
     )
     _mark("assign_plan")
     if assign.total_rows == 0:

@@ -95,6 +95,33 @@ WHERE 2 * i >= ca.n + cb.n - i
 """
 
 
+def _pool(env: str, default):
+    """Actor-pool concurrency for a text stage, env-overridable for A/B
+    experiments: ``"8"`` → fixed 8 actors, ``"1:8"`` → autoscaling (1, 8),
+    ``"task"`` → no pool (plain tasks with a worker-cached stage)."""
+    v = os.environ.get(env)
+    if not v:
+        return default
+    if v == "task":
+        return v
+    if ":" in v:
+        lo, hi = v.split(":", 1)
+        return (int(lo), int(hi))
+    return int(v)
+
+
+_BAND_STAGE: dict = {}
+
+
+def _minhash_band_task(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-form MinHash band stage: the permutation constants are cached
+    per worker process (same pattern as exchange_encode_task)."""
+    stage = _BAND_STAGE.get("s")
+    if stage is None:
+        stage = _BAND_STAGE["s"] = MinHashBandStage()
+    return stage(df)
+
+
 @q("minhash_lsh_pairs", MINHASH_ORACLE_SQL)
 def q_minhash_lsh_pairs(sf_dir: str, broadcast_budget: int | None = None):
     """MinHash(64 perms) + LSH(16×4 bands) near-dup candidates, verified with
@@ -124,9 +151,17 @@ def q_minhash_lsh_pairs(sf_dir: str, broadcast_budget: int | None = None):
     )
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    bands = docs.map_batches(
-        MinHashBandStage, batch_format="pandas", concurrency=(1, 8)
-    ).map_batches(add_bucket_part, batch_format="pandas")
+    conc = _pool("UPXR_MINHASH_CONC", "task")
+    if conc == "task":
+        # plain tasks on already-warm workers: the stage's per-actor setup
+        # (_perm_constants) is microseconds, so an actor pool only buys its
+        # own spawn cost (~1 s/actor); worker-cached instance instead
+        bands = docs.map_batches(_minhash_band_task, batch_format="pandas")
+    else:
+        bands = docs.map_batches(
+            MinHashBandStage, batch_format="pandas", concurrency=conc
+        )
+    bands = bands.map_batches(add_bucket_part, batch_format="pandas")
     pair_rows = bands.groupby("bp").map_groups(
         partition_to_pairs, batch_format="pandas"
     )

@@ -21,6 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..sources import load_table, table_path
+from ..stages import task_stage
 from ..stages.ann import BatchTopKCosine, _normalize, final_topk
 from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
@@ -110,16 +111,6 @@ def _pool(env: str, default):
     return int(v)
 
 
-_BAND_STAGE: dict = {}
-
-
-def _minhash_band_task(df: pd.DataFrame) -> pd.DataFrame:
-    """Task-form MinHash band stage: the permutation constants are cached
-    per worker process (same pattern as exchange_encode_task)."""
-    stage = _BAND_STAGE.get("s")
-    if stage is None:
-        stage = _BAND_STAGE["s"] = MinHashBandStage()
-    return stage(df)
 
 
 @q("minhash_lsh_pairs", MINHASH_ORACLE_SQL)
@@ -156,7 +147,7 @@ def q_minhash_lsh_pairs(sf_dir: str, broadcast_budget: int | None = None):
         # plain tasks on already-warm workers: the stage's per-actor setup
         # (_perm_constants) is microseconds, so an actor pool only buys its
         # own spawn cost (~1 s/actor); worker-cached instance instead
-        bands = docs.map_batches(_minhash_band_task, batch_format="pandas")
+        bands = docs.map_batches(task_stage(MinHashBandStage), batch_format="pandas")
     else:
         bands = docs.map_batches(
             MinHashBandStage, batch_format="pandas", concurrency=conc
@@ -326,9 +317,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    exploded = docs.map_batches(
-        ShingleExplode, batch_format="pandas", concurrency=(1, 8)
-    )
+    # pure-hash stage, trivial ctor at any scale -> plain tasks (see task_stage)
+    exploded = docs.map_batches(task_stage(ShingleExplode), batch_format="pandas")
     routed = exploded.groupby("sp").map_groups(
         df_stamp_route, batch_format="pandas"
     )
@@ -398,7 +388,7 @@ def q_simhash64(sf_dir: str):
     md5-low64 so the DuckDB twin (``md5_number_upper`` + per-bit votes) is an
     exact oracle."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(task_stage(SimHashStage), batch_format="pandas")
 
 
 def _fingerprint_oracle_sql(k: int = 8, base: int = 1099511628211) -> str:
@@ -427,7 +417,7 @@ def q_fingerprint(sf_dir: str):
     """Karp–Rabin rolling-hash min-fingerprint per document, with an exact
     polynomial-reformulation SQL oracle."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(FingerprintStage, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(task_stage(FingerprintStage), batch_format="pandas")
 
 
 # ----------------------------------------------------------------------

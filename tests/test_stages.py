@@ -504,3 +504,40 @@ def test_read_manifest_promotes_old_schema(tmp_path):
     assert "zonemaps" in t.schema.names
     by_pid = dict(zip(t["partition_id"].to_pylist(), t["zonemaps"].to_pylist()))
     assert by_pid["p0"] is None and by_pid["p1"] == "{}"
+
+
+def test_thresholded_stage_switches_on_payload_budget(ray_session, monkeypatch):
+    """thresholded_stage runs small-broadcast stages as plain tasks and
+    falls back to an actor pool above UPXR_TASK_BROADCAST_BUDGET; both
+    forms must produce identical results (the ann call-site contract)."""
+    import ray
+
+    from universal_parquet_exporter_ray.stages import thresholded_stage
+    from universal_parquet_exporter_ray.stages.ann import BatchTopKCosine, _normalize
+
+    rng = np.random.default_rng(7)
+    mat = _normalize(rng.normal(size=(200, 16)))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(mat)})
+    )
+    qids = np.arange(3, dtype=np.int64)
+    qmat = mat[:3]
+    ctor = {"queries": (qids, qmat), "k": 4}
+    payload = qids.nbytes + qmat.nbytes
+
+    def run(budget):
+        monkeypatch.setenv("UPXR_TASK_BROADCAST_BUDGET", str(budget))
+        out = thresholded_stage(
+            ds, BatchTopKCosine, ctor, payload_nbytes=payload,
+            concurrency=1, batch_format="pandas",
+        )
+        return (
+            out.to_pandas()
+            .sort_values(["query_id", "vec_id"])
+            .reset_index(drop=True)
+        )
+
+    task_form = run(payload + 1)  # under budget -> plain tasks
+    pool_form = run(payload - 1)  # over budget -> actor pool
+    pd.testing.assert_frame_equal(task_form, pool_form)
+    assert len(task_form) > 0

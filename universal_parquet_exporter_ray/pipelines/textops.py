@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..sources import load_table, table_path
-from ..stages import task_stage
+from ..stages import task_stage, thresholded_stage
 from ..stages.ann import BatchTopKCosine, _normalize, final_topk
 from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
@@ -1457,11 +1457,13 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
     SQL twin (integer-scaled cosines, vec_id tie-break) is a real oracle."""
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qmat = _fetch_queries(sf_dir, n_queries)
-    cands = ds.map_batches(
+    cands = thresholded_stage(
+        ds,
         BatchTopKCosine,
-        fn_constructor_kwargs={"queries": (qids, qmat), "k": k},
-        batch_format="pandas",
+        {"queries": (qids, qmat), "k": k},
+        payload_nbytes=qids.nbytes + qmat.nbytes,
         concurrency=(1, 4),
+        batch_format="pandas",
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
     return _ppm_topk(out, k)
@@ -1491,11 +1493,9 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4
     from ..stages.ann import PairGroupReplicate, all_pairs_group
 
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pure-hash replication stage, hashable ctor -> plain tasks (task_stage)
     rep = ds.map_batches(
-        PairGroupReplicate,
-        fn_constructor_kwargs={"n_buckets": n_buckets},
-        batch_format="pandas",
-        concurrency=(1, 4),
+        task_stage(PairGroupReplicate, n_buckets=n_buckets), batch_format="pandas"
     )
     pairs = rep.groupby("pg").map_groups(
         all_pairs_group(threshold, n_buckets), batch_format="pandas"
@@ -1526,16 +1526,13 @@ def _ivf_topk(
     mat = _normalize(np.stack(fit_df["embedding"].to_numpy()).astype(np.float64))
     centroids = kmeans_fit(mat, n_clusters)
     qids, qmat = _fetch_queries(sf_dir, n_queries)
-    cands = ds.map_batches(
+    cands = thresholded_stage(
+        ds,
         IvfTopKCosine,
-        fn_constructor_kwargs={
-            "queries": (qids, qmat),
-            "centroids": centroids,
-            "k": k,
-            "nprobe": nprobe,
-        },
-        batch_format="pandas",
+        {"queries": (qids, qmat), "centroids": centroids, "k": k, "nprobe": nprobe},
+        payload_nbytes=qids.nbytes + qmat.nbytes + centroids.nbytes,
         concurrency=4,
+        batch_format="pandas",
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
     return _ppm_topk(out, k)
@@ -1612,16 +1609,13 @@ def _ivf_pruned(
     needed = np.unique(probes)
     files = manifest[manifest["bucket"].isin(needed)]["path"].tolist()
     pruned = ray.data.read_parquet(files)
-    cands = pruned.map_batches(
+    cands = thresholded_stage(
+        pruned,
         IvfTopKCosine,
-        fn_constructor_kwargs={
-            "queries": (qids, qmat),
-            "centroids": centroids,
-            "k": k,
-            "nprobe": nprobe,
-        },
-        batch_format="pandas",
+        {"queries": (qids, qmat), "centroids": centroids, "k": k, "nprobe": nprobe},
+        payload_nbytes=qids.nbytes + qmat.nbytes + centroids.nbytes,
         concurrency=4,
+        batch_format="pandas",
     )
     out = cands.groupby("query_id").map_groups(final_topk(k), batch_format="pandas")
     return _ppm_topk(out, k)

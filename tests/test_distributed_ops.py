@@ -870,3 +870,58 @@ def test_tfidf_min_df_cutoff_is_exact(ray_session):
         assert idf_all[t] == default_idf
     for t in ("alpha", "beta"):
         assert idf_cut[t] == idf_all[t]
+
+
+def test_combiner_groupby_small_and_distributed_finals_agree(ray_session):
+    """combiner_groupby must produce identical grouped SUM/AVG/MIN/MAX/COUNT
+    results whether the thresholded final reduce runs driver-side (pandas)
+    or distributed (forced with final_cap=0)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from universal_parquet_exporter_ray.stages.agg import combiner_groupby
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "v": rng.normal(10.0, 3.0, n),
+            "w": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    # nulls in the mean column: AVG must ignore them (SQL semantics)
+    df.loc[df.index % 13 == 0, "v"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    kwargs = dict(
+        sums={"w": "sum_w"},
+        means={"v": "avg_v"},
+        mins={"w": "min_w"},
+        maxs={"w": "max_w"},
+        count="n_rows",
+    )
+    small = combiner_groupby(ds, ["k"], **kwargs)
+    assert isinstance(small, pd.DataFrame)  # under the cap -> driver final
+    large = combiner_groupby(ds, ["k"], final_cap=0, **kwargs)
+    assert not isinstance(large, pd.DataFrame)  # forced distributed final
+    large = large.to_pandas()
+
+    canon = lambda d: d.sort_values("k").reset_index(drop=True)[sorted(d.columns)]
+    small, large = canon(small), canon(large)
+    pd.testing.assert_frame_equal(small, large, check_dtype=False)
+
+    # cross-check against plain pandas on the whole frame
+    exp = (
+        df.groupby("k", dropna=False)
+        .agg(
+            sum_w=("w", "sum"),
+            avg_v=("v", "mean"),
+            min_w=("w", "min"),
+            max_w=("w", "max"),
+            n_rows=("w", "size"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(small, canon(exp), check_dtype=False)

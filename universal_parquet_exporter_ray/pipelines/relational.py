@@ -30,6 +30,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..sources import load_table
+from ..stages.agg import combiner_groupby
 from ..stages.joins import broadcast_merge, broadcast_semi, thresholded_join
 
 QUERIES: dict[str, Callable] = {}
@@ -55,10 +56,10 @@ def scaled_int(x, scale: float) -> np.ndarray:
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
-def scale_cols(
-    ds: "ray.data.Dataset", spec: dict[str, tuple[str, float]]
-) -> "ray.data.Dataset":
-    """Replace float columns with scaled-int columns: {old: (new_name, scale)}."""
+def scale_cols(ds, spec: dict[str, tuple[str, float]]):
+    """Replace float columns with scaled-int columns: {old: (new_name, scale)}.
+    Accepts a Dataset (per-batch map) or a pandas DataFrame (the driver-side
+    final of ``combiner_groupby``'s small path) and returns the same shape."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         for old, (new, scale) in spec.items():
@@ -67,6 +68,8 @@ def scale_cols(
                 df = df.drop(columns=[old])
         return df
 
+    if isinstance(ds, pd.DataFrame):
+        return fn(ds)
     return ds.map_batches(fn, batch_format="pandas")
 
 
@@ -254,18 +257,17 @@ def q_join_left_coalesce(sf_dir: str):
 )
 def q_join_multiway(sf_dir: str):
     # J3 (reference: sys.tables 4-way join, sqlserver_advanced:172-175).
-    # Physical plan: large⋈large via Ray hash join (lineitem ⋈ orders),
-    # dims broadcast, then per-batch PARTIAL aggregation before the final
-    # tiny groupby — the combiner-first pattern that avoids shuffling rows.
+    # Physical plan: fold the tiny dims (customer⋈nation) into ORDERS first
+    # — a broadcast merge over the middle table, strictly less work than
+    # merging into the already-joined lineitem rows at any scale — then
+    # join the fact table against the 2-column (o_orderkey, n_name) side
+    # through the size-thresholded strategy: object-store broadcast below
+    # the budget (zero shuffle end-to-end at test scale), Ray hash join
+    # above it (the 100-TB path, shuffling the narrowest possible side).
+    # Per-batch PARTIAL aggregation before the final tiny groupby keeps
+    # the combiner-first pattern either way.
     li = load_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = load_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
     cust = (
         load_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     )
@@ -273,20 +275,41 @@ def q_join_multiway(sf_dir: str):
     dim = cust.merge(
         nation, left_on="c_nationkey", right_on="n_nationkey", sort=False
     )[["c_custkey", "n_name"]]
-    joined = broadcast_merge(
-        joined, dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
-    )
+    from ..stages.joins import BROADCAST_ROW_LIMIT
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["rev"] = df.l_extendedprice * (1.0 - df.l_discount)
-        g = df.groupby("n_name", sort=False).agg(
-            rev_p=("rev", "sum"), n_p=("rev", "size")
+    # size gate on the metadata row count (a parquet-footer read, no scan):
+    # an inner merge with the dims can only shrink the orders side, so the
+    # pre-merge count is a sound upper bound for the broadcast decision —
+    # this avoids executing the orders pipeline twice (probe + materialize).
+    if orders.count() <= BROADCAST_ROW_LIMIT:
+        odf = orders.to_pandas()  # bounded by the broadcast budget
+        dim2 = odf.merge(dim, left_on="o_custkey", right_on="c_custkey", sort=False)[
+            ["o_orderkey", "n_name"]
+        ]
+        joined = broadcast_merge(
+            li, dim2, left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner"
         )
-        return g.reset_index()
+    else:
+        orders_nn = broadcast_merge(
+            orders, dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
+        ).select_columns(["o_orderkey", "n_name"])
+        joined = li.join(
+            orders_nn,
+            join_type="inner",
+            num_partitions=32,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
-    partials = joined.map_batches(partial, batch_format="pandas")
-    out = partials.groupby("n_name").aggregate(
-        Sum("rev_p", alias_name="revenue"), Sum("n_p", alias_name="n_items")
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df.l_extendedprice * (1.0 - df.l_discount)
+        return df[["n_name", "rev"]]
+
+    out = combiner_groupby(
+        joined.map_batches(add_rev, batch_format="pandas"),
+        ["n_name"],
+        sums={"rev": "revenue"},
+        count="n_items",
     )
     return scale_cols(out, {"revenue": ("revenue_c", 100.0)})
 
@@ -385,11 +408,14 @@ def q_group_agg(sf_dir: str):
     ds = load_table(
         sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
     )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    # combiner-first: 6 groups — per-batch partials, thresholded final reduce
+    # (a full-row groupby shuffle would move the whole corpus for 6 rows)
+    out = combiner_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price"},
+        means={"l_discount": "avg_disc"},
+        count="count_order",
     )
     return scale_cols(
         out,
@@ -407,13 +433,21 @@ def q_group_agg(sf_dir: str):
     "FROM orders GROUP BY o_orderpriority",
 )
 def q_count_distinct(sf_dir: str):
-    # A3 two-phase (reference: COUNT(DISTINCT o.user_id), advanced:188)
+    # A3 two-phase (reference: COUNT(DISTINCT o.user_id), advanced:188).
+    # Phase 1 collapses to distinct (priority, custkey) pairs combiner-first;
+    # phase 2 counts pairs per priority on whichever form phase 1 produced.
     ds = load_table(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
-    pairs = ds.groupby(["o_orderpriority", "o_custkey"]).aggregate(
-        Count(alias_name="_c")
-    )
-    out = pairs.groupby("o_orderpriority").aggregate(Count(alias_name="n_custs"))
-    return out
+    pairs = combiner_groupby(ds, ["o_orderpriority", "o_custkey"], count="_c")
+    if isinstance(pairs, pd.DataFrame):
+        out = (
+            pairs.groupby("o_orderpriority", sort=False, dropna=False)
+            .size()
+            .rename("n_custs")
+            .reset_index()
+        )
+        out["n_custs"] = out["n_custs"].astype("int64")
+        return out
+    return pairs.groupby("o_orderpriority").aggregate(Count(alias_name="n_custs"))
 
 
 @q(
@@ -422,9 +456,13 @@ def q_count_distinct(sf_dir: str):
     "GROUP BY o_custkey HAVING count(*) > 15",
 )
 def q_having(sf_dir: str):
-    # A5 (reference: HAVING COUNT(o.id) > 0, advanced:258)
+    # A5 (reference: HAVING COUNT(o.id) > 0, advanced:258); combiner-first —
+    # partials are (blocks × keys-per-block)-sized, the HAVING filter runs
+    # on whichever final form the threshold picked
     ds = load_table(sf_dir, "orders", ["o_custkey"])
-    out = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    out = combiner_groupby(ds, ["o_custkey"], count="n_orders")
+    if isinstance(out, pd.DataFrame):
+        return out[out["n_orders"] > 15].reset_index(drop=True)
     return out.map_batches(
         lambda t: t.filter(pc.greater(t["n_orders"], 15)), batch_format="pyarrow"
     )
@@ -436,11 +474,13 @@ def q_having(sf_dir: str):
     "FROM orders GROUP BY o_orderpriority",
 )
 def q_minmax_dates(sf_dir: str):
-    # A6 (reference: MIN/MAX(o.order_date), advanced:168-169)
+    # A6 (reference: MIN/MAX(o.order_date), advanced:168-169); combiner-first
     ds = load_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
-    return ds.groupby("o_orderpriority").aggregate(
-        Min("o_orderdate", alias_name="min_date"),
-        Max("o_orderdate", alias_name="max_date"),
+    return combiner_groupby(
+        ds,
+        ["o_orderpriority"],
+        mins={"o_orderdate": "min_date"},
+        maxs={"o_orderdate": "max_date"},
     )
 
 

@@ -184,11 +184,14 @@ def q_case_bucket(sf_dir: str):
         )
         return df
 
-    out = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bal_bucket")
-        .aggregate(Count(alias_name="n"), Sum("c_acctbal", alias_name="sum_bal"))
+    out = combiner_groupby(
+        ds.map_batches(bucket, batch_format="pandas"),
+        ["bal_bucket"],
+        sums={"c_acctbal": "sum_bal"},
+        count="n",
     )
+    # match the historical column order (n before sum_bal)
+    out = out[["bal_bucket", "n", "sum_bal"]] if isinstance(out, pd.DataFrame) else out
     return scale_cols(out, {"sum_bal": ("sum_bal_c", 100.0)})
 
 

@@ -22,6 +22,7 @@ from ray.data.aggregate import Count, Min
 
 from ..sources import load_table, table_path
 from ..stages import task_stage, thresholded_stage
+from ..stages.agg import combiner_groupby
 from ..stages.ann import BatchTopKCosine, _normalize, final_topk
 from ..stages.dedup import MinHashBandStage, SimHashStage, content_sha
 from ..stages.multimodal import MediaDecodeStage, to_media_table
@@ -67,9 +68,14 @@ def q_dedup_exact(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "h": content_sha(df)})
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-    out = hashed.groupby("h").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    # combiner-first: per-batch duplicates collapse before anything moves;
+    # hash cardinality scales with the corpus, so above the cap the final
+    # reduce stays a distributed groupby over 64-hex rows (the 100-TB plan)
+    out = combiner_groupby(
+        hashed, ["h"], mins={"doc_id": "doc_id"}, count="n_copies"
     )
+    if isinstance(out, pd.DataFrame):
+        return out[["doc_id", "n_copies"]].reset_index(drop=True)
     return out.select_columns(["doc_id", "n_copies"])
 
 

@@ -73,6 +73,14 @@ def scale_cols(ds, spec: dict[str, tuple[str, float]]):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _map_any(out, fn):
+    """Apply a per-batch pandas transform to a Dataset OR directly to a
+    pandas DataFrame (combiner_groupby's driver-side final)."""
+    if isinstance(out, pd.DataFrame):
+        return fn(out)
+    return out.map_batches(fn, batch_format="pandas")
+
+
 def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
     def fn(t: pa.Table) -> pa.Table:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
@@ -233,13 +241,22 @@ def q_join_left_coalesce(sf_dir: str):
     # the per-customer aggregate scales with the corpus: size-thresholded
     # (broadcast at test scale, Dataset.join beyond the broadcast budget)
     orders = load_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    per_cust = combiner_groupby(
+        orders,
+        ["o_custkey"],
+        sums={"o_totalprice": "total_spent"},
+        count="n_orders",
     )
     cust = load_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = thresholded_join(
-        cust, per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left"
-    )
+    if isinstance(per_cust, pd.DataFrame):
+        # the aggregate landed driver-side under the cap -> broadcast it
+        joined = broadcast_merge(
+            cust, per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left"
+        )
+    else:
+        joined = thresholded_join(
+            cust, per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left"
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["total_spent_c"] = scaled_int(df["total_spent"].fillna(0.0), 100.0)
@@ -545,9 +562,12 @@ def q_topk(sf_dir: str):
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
 def q_distinct_rows(sf_dir: str):
-    # D1 (reference: SELECT DISTINCT ..., basic:123): hash-partition + first
+    # D1 (reference: SELECT DISTINCT ..., basic:123): per-batch distinct
+    # partials (combiner), thresholded final — hash-partition above the cap
     ds = load_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_c"))
+    out = combiner_groupby(ds, ["l_returnflag", "l_linestatus"], count="_c")
+    if isinstance(out, pd.DataFrame):
+        return out[["l_returnflag", "l_linestatus"]].reset_index(drop=True)
     return out.select_columns(["l_returnflag", "l_linestatus"])
 
 
@@ -571,9 +591,16 @@ def q_datediff(sf_dir: str):
         return pa.table({"o_custkey": t["o_custkey"], "day": day})
 
     days = ds.map_batches(add_day, batch_format="pyarrow")
-    agg = days.groupby("o_custkey").aggregate(
-        Min("day", alias_name="min_day"), Max("day", alias_name="max_day")
+    agg = combiner_groupby(
+        days, ["o_custkey"], mins={"day": "min_day"}, maxs={"day": "max_day"}
     )
+    if isinstance(agg, pd.DataFrame):
+        return pd.DataFrame(
+            {
+                "o_custkey": agg["o_custkey"].to_numpy(dtype=np.int64),
+                "span_days": (agg["max_day"] - agg["min_day"]).astype("int64"),
+            }
+        )
 
     def span(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -705,15 +732,11 @@ def q_pivot_events(sf_dir: str):
             out[f"v_{t}"] = np.where(et == t, v, 0.0)
         return out
 
-    agg = (
-        ds.map_batches(indicators, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(
-            Sum("v_click", alias_name="s_click"),
-            Sum("v_purchase", alias_name="s_purchase"),
-            Sum("v_view", alias_name="s_view"),
-            Count(alias_name="n_events"),
-        )
+    agg = combiner_groupby(
+        ds.map_batches(indicators, batch_format="pandas"),
+        ["user_id"],
+        sums={"v_click": "s_click", "v_purchase": "s_purchase", "v_view": "s_view"},
+        count="n_events",
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -727,7 +750,7 @@ def q_pivot_events(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return _map_any(agg, finish)
 
 
 @q(
@@ -760,14 +783,12 @@ def q_json_extract_agg(sf_dir: str):
         k = pd.to_numeric(raw, errors="raise").astype("int64")
         return pd.DataFrame({"event_type": df["event_type"], "k": k})
 
-    return (
-        ds.map_batches(extract, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(
-            Sum("k", alias_name="sum_k"),
-            Max("k", alias_name="max_k"),
-            Count(alias_name="n"),
-        )
+    return combiner_groupby(
+        ds.map_batches(extract, batch_format="pandas"),
+        ["event_type"],
+        sums={"k": "sum_k"},
+        maxs={"k": "max_k"},
+        count="n",
     )
 
 
@@ -808,11 +829,11 @@ def q_cte_share(sf_dir: str):
     joined = thresholded_join(
         orders, cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner"
     )
-    seg = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="seg_sales"))
-        .to_pandas()
+    seg = combiner_groupby(
+        joined, ["c_mktsegment"], sums={"o_totalprice": "seg_sales"}
     )
+    if not isinstance(seg, pd.DataFrame):
+        seg = seg.to_pandas()  # segment-cardinality result, driver-safe
     seg["seg_sales_c"] = scaled_int(seg["seg_sales"], 100.0)
     total = int(seg["seg_sales_c"].sum())
     seg["share_ppm"] = scaled_int(seg["seg_sales_c"] * 1000000.0 / total, 1.0)
@@ -972,10 +993,11 @@ def q_window_agg(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = combiner_groupby(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        sums={"value": "sum_value"},
+        count="n",
     )
     return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
 
@@ -1003,32 +1025,37 @@ def q_join_compound(sf_dir: str):
 
     ev = load_table(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
     ev = ev.map_batches(in_kinds, batch_format="pyarrow")
-    firsts = (
+    firsts = combiner_groupby(
         load_table(sf_dir, "events", ["user_id", "event_type", "ts"])
-        .map_batches(in_kinds, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Min("ts", alias_name="min_ts"))
+        .map_batches(in_kinds, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        mins={"ts": "min_ts"},
     )
-    firsts = _rename(firsts, {"user_id": "f_user", "event_type": "f_kind"})
-    joined = ev.join(
-        firsts,
-        join_type="inner",
-        num_partitions=8,
-        on=("user_id", "event_type"),
-        right_on=("f_user", "f_kind"),
-    )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["ts"] > df["min_ts"]]
-        g = df.groupby(["user_id", "event_type"], sort=False).agg(
-            n_p=("value", "size"), v_p=("value", "sum")
+    if isinstance(firsts, pd.DataFrame):
+        # compound-key dim landed driver-side under the cap: broadcast it
+        # (same key names both sides -> plain merge, no rename dance)
+        joined = broadcast_merge(
+            ev, firsts, left_on=["user_id", "event_type"], how="inner"
         )
-        return g.reset_index()
+    else:
+        firsts = _rename(firsts, {"user_id": "f_user", "event_type": "f_kind"})
+        joined = ev.join(
+            firsts,
+            join_type="inner",
+            num_partitions=32,
+            on=("user_id", "event_type"),
+            right_on=("f_user", "f_kind"),
+        )
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n_p", alias_name="n_later"), Sum("v_p", alias_name="sum_value"))
+    def later(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"] > df["min_ts"]]
+        return df[["user_id", "event_type", "value"]]
+
+    out = combiner_groupby(
+        joined.map_batches(later, batch_format="pandas"),
+        ["user_id", "event_type"],
+        sums={"value": "sum_value"},
+        count="n_later",
     )
     return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
 
@@ -1038,11 +1065,13 @@ def q_join_compound(sf_dir: str):
     "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
 )
 def q_global_count_distinct(sf_dir: str):
-    # A3 global form: two-phase distinct (hash-partition distinct keys, then
-    # a distributed count — the distinct key set never reaches the driver)
+    # A3 global form: two-phase distinct — per-batch distinct partials,
+    # thresholded final (above the cap the distinct key set stays
+    # distributed and only its COUNT reaches the driver)
     ds = load_table(sf_dir, "orders", ["o_custkey"])
-    distinct = ds.groupby("o_custkey").aggregate(Count(alias_name="_c"))
-    return pd.DataFrame([{"n_custs": int(distinct.count())}])
+    distinct = combiner_groupby(ds, ["o_custkey"], count="_c")
+    n = len(distinct) if isinstance(distinct, pd.DataFrame) else distinct.count()
+    return pd.DataFrame([{"n_custs": int(n)}])
 
 
 @q(

@@ -610,7 +610,9 @@ def q_lang_id(sf_dir: str):
     """Stopword-table language-ID heuristic (actor pool), with an exact SQL
     twin over the same stopword tables."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 4))
+    # trivial ctor (regex + frozen stopword tables) -> plain tasks with the
+    # per-worker cached instance; an actor pool only buys spawn cost here
+    return ds.map_batches(task_stage(LangIdStage), batch_format="pandas")
 
 
 HASH_SPLIT_ORACLE_SQL = """
@@ -1100,11 +1102,17 @@ def q_contamination_scan(sf_dir: str, n_probes: int = 5):
         (int(r.doc_id), r.text[16:56]) for r in probe_tbl.itertuples()
     ]
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
+    # probe set is KB-scale here -> task form (closure payload); a 10^6-probe
+    # decontamination list would exceed the budget and keep the actor pool,
+    # amortizing the per-length hash-index build per actor
+    payload = sum(len(s.encode()) + 16 for _, s in probes)
+    return thresholded_stage(
+        ds,
         ProbeScanStage,
-        fn_constructor_kwargs={"probes": probes},
-        batch_format="pandas",
+        {"probes": probes},
+        payload_nbytes=payload,
         concurrency=(1, 4),
+        batch_format="pandas",
     )
 
 
@@ -1133,7 +1141,9 @@ def q_redact_pii(sf_dir: str):
     kernels. At 100 TB this is exactly the shape you want: embarrassingly
     parallel, output written partition-aligned with the input."""
     ds = load_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(RedactStage, batch_format="pandas", concurrency=(1, 4))
+    # patterns compile once per WORKER via the task_stage cache — same
+    # amortization as an actor pool, none of the spawn cost
+    return ds.map_batches(task_stage(RedactStage), batch_format="pandas")
 
 
 SEQPACK_ORACLE_SQL = """

@@ -975,11 +975,19 @@ def verify_pairs(
                 "doc_b": np.concatenate([b, b]),
             }
         )
-        emitted = docs.map_batches(
+        # task form under the broadcast budget: the membership table is
+        # 3 int64 columns over 2×pairs rows; below UPXR_TASK_BROADCAST_BUDGET
+        # it closure-ships to warm workers instead of paying ~1 s/actor
+        # spawn for a microsecond constructor (same gate as the ANN stages)
+        from . import thresholded_stage
+
+        emitted = thresholded_stage(
+            docs,
             PairShingleEmit,
-            fn_constructor_kwargs={"members": members, "w": w, "text_col": text_col},
-            batch_format="pandas",
+            {"members": members, "w": w, "text_col": text_col},
+            payload_nbytes=int(members.memory_usage(index=False).sum()),
             concurrency=concurrency,
+            batch_format="pandas",
         )
     else:
         def stamp(df: pd.DataFrame) -> pd.DataFrame:
@@ -1010,11 +1018,12 @@ def verify_pairs(
             )
 
         members_ds = pairs_ds.map_batches(to_members, batch_format="pandas")
+        # pure-hash stage, trivial hashable ctor -> plain tasks (task_stage)
+        from . import task_stage
+
         blobs = docs.map_batches(
-            ShingleBlobStage,
-            fn_constructor_kwargs={"w": w, "text_col": text_col},
+            task_stage(ShingleBlobStage, w=w, text_col=text_col),
             batch_format="pandas",
-            concurrency=concurrency,
         )
 
         # co-partitioned join via tagged union + ONE groupby on a coarse

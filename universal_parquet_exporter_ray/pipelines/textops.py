@@ -555,14 +555,11 @@ def q_quality_by_lang(sf_dir: str):
         df["n_tok"] = df["text"].str.findall(r"\S+").str.len().astype("int64")
         return df[["lang", "n_chars", "n_tok"]]
 
-    out = (
-        ds.map_batches(add_tokens, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Mean("n_chars", alias_name="avg_chars"),
-            Mean("n_tok", alias_name="avg_tokens"),
-        )
+    out = combiner_groupby(
+        ds.map_batches(add_tokens, batch_format="pandas"),
+        ["lang"],
+        means={"n_chars": "avg_chars", "n_tok": "avg_tokens"},
+        count="n_docs",
     )
 
     def scale(df: pd.DataFrame) -> pd.DataFrame:
@@ -572,7 +569,9 @@ def q_quality_by_lang(sf_dir: str):
         df["avg_tokens_c"] = scaled_int(df["avg_tokens"], 100.0)
         return df[["lang", "n_docs", "avg_chars_c", "avg_tokens_c"]]
 
-    return out.map_batches(scale, batch_format="pandas")
+    from .relational import _map_any
+
+    return _map_any(out, scale)
 
 
 def _lang_id_oracle_sql() -> str:

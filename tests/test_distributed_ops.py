@@ -925,3 +925,77 @@ def test_combiner_groupby_small_and_distributed_finals_agree(ray_session):
         .reset_index()
     )
     pd.testing.assert_frame_equal(small, canon(exp), check_dtype=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),    # key (None = SQL null group)
+            st.one_of(st.none(), st.floats(-1e6, 1e6)), # mean col with nulls
+            st.integers(-1000, 1000),                   # sum/min/max col
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_chunks=st.integers(1, 6),
+    data=st.data(),
+)
+def test_combiner_partial_finish_matches_pandas(rows, n_chunks, data):
+    """partial∘finish over ANY block split must equal a direct pandas
+    groupby on the whole frame — the algebra combiner_groupby relies on
+    (pure-pandas property test; the Ray paths are covered by the
+    equality test above and the query oracles)."""
+    from universal_parquet_exporter_ray.stages.agg import (
+        _AggSpec,
+        make_finish,
+        make_partial,
+    )
+
+    df = pd.DataFrame(rows, columns=["k", "v", "w"])
+    df["k"] = df["k"].astype("Int64")
+    # Arrow batches deliver float columns as float64-with-NaN, never object
+    df["v"] = df["v"].astype("float64")
+    spec = _AggSpec(
+        ["k"],
+        sums={"w": "sum_w"},
+        means={"v": "avg_v"},
+        mins={"w": "min_w"},
+        maxs={"w": "max_w"},
+        count="n_rows",
+    )
+    partial, finish = make_partial(spec), make_finish(spec)
+
+    # random contiguous split into n_chunks blocks
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(df)), min_size=n_chunks - 1, max_size=n_chunks - 1
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(df)]
+    parts = [
+        partial(df.iloc[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    got = (
+        finish(pd.concat(parts, ignore_index=True))
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+
+    exp = (
+        df.groupby("k", dropna=False)
+        .agg(
+            sum_w=("w", "sum"),
+            avg_v=("v", "mean"),
+            min_w=("w", "min"),
+            max_w=("w", "max"),
+            n_rows=("w", "size"),
+        )
+        .reset_index()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    got = got[exp.columns.tolist()]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -41,6 +41,68 @@ __all__ = ["combiner_groupby", "FINAL_REDUCE_CAP"]
 FINAL_REDUCE_CAP = 200_000
 
 
+class _AggSpec:
+    """Column bookkeeping for one grouped aggregate: which input column
+    feeds which partial column and which output name."""
+
+    def __init__(self, keys, sums, means, mins, maxs, count):
+        self.keys = list(keys)
+        self.sums, self.means = sums, means
+        self.mins, self.maxs, self.count = mins, maxs, count
+        self.sum_cols = {c: f"__s_{c}" for c in {**sums, **means}}
+        self.cnt_cols = {c: f"__n_{c}" for c in means}
+        self.min_cols = {c: f"__lo_{c}" for c in mins}
+        self.max_cols = {c: f"__hi_{c}" for c in maxs}
+
+
+def make_partial(spec: _AggSpec):
+    """Per-batch combiner: collapse a block to ≤ #groups partial rows.
+    Module-level (not a closure inside combiner_groupby) so the
+    partial∘finish algebra is directly property-testable without Ray."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(spec.keys, sort=False, dropna=False)
+        out = {}
+        for c, p in spec.sum_cols.items():
+            out[p] = g[c].sum()
+        for c, p in spec.cnt_cols.items():
+            out[p] = g[c].count()
+        for c, p in spec.min_cols.items():
+            out[p] = g[c].min()
+        for c, p in spec.max_cols.items():
+            out[p] = g[c].max()
+        if spec.count is not None:
+            out["__rows"] = g.size()
+        return pd.DataFrame(out).reset_index()
+
+    return partial
+
+
+def make_finish(spec: _AggSpec):
+    """Final combine over a frame of partial rows (any block split)."""
+
+    def finish(pf: pd.DataFrame) -> pd.DataFrame:
+        g = pf.groupby(spec.keys, sort=False, dropna=False)
+        res = {}
+        for c, name in spec.sums.items():
+            res[name] = g[spec.sum_cols[c]].sum()
+        for c, name in spec.means.items():
+            # float64 division: an all-null group is 0.0/0 -> NaN (SQL AVG
+            # of no values is NULL), never a Python-int ZeroDivisionError
+            res[name] = g[spec.sum_cols[c]].sum().astype("float64") / g[
+                spec.cnt_cols[c]
+            ].sum()
+        for c, name in spec.mins.items():
+            res[name] = g[spec.min_cols[c]].min()
+        for c, name in spec.maxs.items():
+            res[name] = g[spec.max_cols[c]].max()
+        if spec.count is not None:
+            res[spec.count] = g["__rows"].sum().astype("int64")
+        return pd.DataFrame(res).reset_index()
+
+    return finish
+
+
 def combiner_groupby(
     ds,
     keys: list[str],
@@ -62,48 +124,16 @@ def combiner_groupby(
     (driver final) or a Dataset (distributed final) — both shapes are
     accepted by the oracle comparison and by ``scale_cols``.
     """
-    sums = dict(sums or {})
-    means = dict(means or {})
-    mins = dict(mins or {})
-    maxs = dict(maxs or {})
-    sum_cols = {c: f"__s_{c}" for c in {**sums, **means}}
-    cnt_cols = {c: f"__n_{c}" for c in means}
-    min_cols = {c: f"__lo_{c}" for c in mins}
-    max_cols = {c: f"__hi_{c}" for c in maxs}
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, dropna=False)
-        out = {}
-        for c, p in sum_cols.items():
-            out[p] = g[c].sum()
-        for c, p in cnt_cols.items():
-            out[p] = g[c].count()
-        for c, p in min_cols.items():
-            out[p] = g[c].min()
-        for c, p in max_cols.items():
-            out[p] = g[c].max()
-        if count is not None:
-            out["__rows"] = g.size()
-        return pd.DataFrame(out).reset_index()
+    spec = _AggSpec(keys, dict(sums or {}), dict(means or {}),
+                    dict(mins or {}), dict(maxs or {}), count)
+    sum_cols, cnt_cols, min_cols, max_cols = (
+        spec.sum_cols, spec.cnt_cols, spec.min_cols, spec.max_cols
+    )
+    partial, finish = make_partial(spec), make_finish(spec)
 
     # combiner-sized stream: materializing it is object-store-light and
     # makes the row count a free metadata read for the threshold decision
     partials = ds.map_batches(partial, batch_format="pandas").materialize()
-
-    def finish(pf: pd.DataFrame) -> pd.DataFrame:
-        g = pf.groupby(keys, sort=False, dropna=False)
-        res = {}
-        for c, name in sums.items():
-            res[name] = g[sum_cols[c]].sum()
-        for c, name in means.items():
-            res[name] = g[sum_cols[c]].sum() / g[cnt_cols[c]].sum()
-        for c, name in mins.items():
-            res[name] = g[min_cols[c]].min()
-        for c, name in maxs.items():
-            res[name] = g[max_cols[c]].max()
-        if count is not None:
-            res[count] = g["__rows"].sum().astype("int64")
-        return pd.DataFrame(res).reset_index()
 
     if partials.count() <= final_cap:
         return finish(partials.to_pandas())
@@ -119,14 +149,14 @@ def combiner_groupby(
     reduced = partials.groupby(keys).aggregate(*aggs)
 
     def finish_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[keys].copy()
-        for c, name in sums.items():
+        out = df[list(keys)].copy()
+        for c, name in spec.sums.items():
             out[name] = df[sum_cols[c]]
-        for c, name in means.items():
-            out[name] = df[sum_cols[c]] / df[cnt_cols[c]]
-        for c, name in mins.items():
+        for c, name in spec.means.items():
+            out[name] = df[sum_cols[c]].astype("float64") / df[cnt_cols[c]]
+        for c, name in spec.mins.items():
             out[name] = df[min_cols[c]]
-        for c, name in maxs.items():
+        for c, name in spec.maxs.items():
             out[name] = df[max_cols[c]]
         if count is not None:
             out[count] = df["__rows"].astype("int64")

@@ -110,18 +110,26 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time
+
     n_ok = n_bad = 0
+    t_start = time.perf_counter()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"{name:24s} RAY-ERROR {type(e).__name__}: {e}")
             n_bad += 1
             continue
+        ray_s = time.perf_counter() - t0
         if name not in oracles:
-            print(f"{name:24s} rows-only: {len(ray_df)} rows, cols={list(ray_df.columns)}")
+            print(
+                f"{name:24s} rows-only: {len(ray_df)} rows, "
+                f"cols={list(ray_df.columns)} [{ray_s:.2f}s]"
+            )
             n_ok += 1
             continue
         try:
@@ -131,10 +139,10 @@ def main():
             n_bad += 1
             continue
         verdict = compare(name, ray_df, sql_df, strict=strict)
-        print(f"{name:24s} {verdict}")
+        print(f"{name:24s} {verdict} [{ray_s:.2f}s]")
         n_ok += verdict == "OK"
         n_bad += verdict != "OK"
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    print(f"\n{n_ok} ok, {n_bad} bad ({time.perf_counter() - t_start:.1f}s total)")
     ray.shutdown()
     sys.exit(1 if n_bad else 0)
 

@@ -18,8 +18,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
-
 from ..sources import load_table, table_path
 from ..stages import task_stage, thresholded_stage
 from ..stages.agg import combiner_groupby
@@ -1406,7 +1404,9 @@ def q_curate_corpus(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "h": content_sha(df)})
 
     gated = ds.map_batches(gate, batch_format="pandas")
-    out = gated.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    out = combiner_groupby(gated, ["h"], mins={"doc_id": "doc_id"})
+    if isinstance(out, pd.DataFrame):
+        return out[["doc_id"]].reset_index(drop=True)
     return out.select_columns(["doc_id"])
 
 

@@ -55,6 +55,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers' stdout must NOT stream into this process: bench's stdout
+        # is a one-JSON-line protocol the round driver parses, and a single
+        # stray task print would contaminate it (observed once in round 4)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -108,8 +112,10 @@ def run_bench() -> dict:
 
     # best-of-N reps per pipeline: hypervisor steal on this VM only ever
     # ADDS time (documented 4× outlier windows), so the per-key minimum is
-    # the closest observable to the machine's true number
-    reps = max(1, int(os.environ.get("UPXR_BENCH_REPS", "2")))
+    # the closest observable to the machine's true number. Default 3 since
+    # round 4: the overnight churn class showed single reps swinging 2-3×
+    # within one suite run (~90 s extra wall for a far more stable record)
+    reps = max(1, int(os.environ.get("UPXR_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
 
     def record(name: str, sec: float):
@@ -202,6 +208,10 @@ def run_encode_only() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers' stdout must NOT stream into this process: bench's stdout
+        # is a one-JSON-line protocol the round driver parses, and a single
+        # stray task print would contaminate it (observed once in round 4)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

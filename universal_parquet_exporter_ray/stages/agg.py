@@ -119,7 +119,11 @@ def combiner_groupby(
 
     ``sums``/``means``/``mins``/``maxs`` map input column -> output name;
     ``count`` names a COUNT(*) output.  AVG follows SQL semantics (ignores
-    nulls): each mean column carries its own non-null-count partial.  Null
+    nulls): each mean column carries its own non-null-count partial.  SUM
+    over an all-null group follows PANDAS semantics (0, not SQL's NULL) —
+    every consumer that can hit that case wraps the sum in COALESCE(x, 0)
+    on both the engine and oracle sides, so the two conventions agree;
+    MIN/MAX of an all-null group is null on both.  Null
     keys form a group, as in SQL GROUP BY.  Returns a pandas DataFrame
     (driver final) or a Dataset (distributed final) — both shapes are
     accepted by the oracle comparison and by ``scale_cols``.

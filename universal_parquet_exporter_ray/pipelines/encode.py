@@ -319,12 +319,24 @@ def encode_dataset(
     done_set: set = completed_partitions(out_dir) if resume else set()
 
     def drop_done(batch: pa.Table) -> pa.Table:
+        # resume filter, vectorized: sanitize once per DISTINCT partition key
+        # in the batch (a resumed 100-TB run can carry ~10^6 done partitions;
+        # a per-ROW sanitize + set lookup was the one Python loop left on
+        # this hot path), then gather the per-label verdict by dictionary code
         if not done_set:
             return batch
-        keep = [
-            sanitize_partition_id(v) not in done_set
-            for v in batch[PART_COL].to_pylist()
-        ]
+        import numpy as np
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch[PART_COL].combine_chunks())
+        keep_label = np.array(
+            [
+                sanitize_partition_id(str(v)) not in done_set
+                for v in enc.dictionary.to_pylist()
+            ],
+            dtype=bool,
+        )
+        keep = keep_label[enc.indices.to_numpy(zero_copy_only=False)]
         return batch.filter(pa.array(keep))
 
     src_desc = source if isinstance(source, str) else "<dataset>"

@@ -62,10 +62,14 @@ def _tune_allocator() -> bool:
         # parquet reads / pa.array): default decay releases dirty pages
         # almost immediately. Keep them ~1 s — longer than the gap between
         # consecutive batches on a busy worker, short enough to shed memory
-        # when a stage goes idle.
+        # when a stage goes idle. UPXR_JEMALLOC_DECAY_MS overrides (the
+        # spill stage's call cadence at high parallelism can exceed 1 s, so
+        # longer decay is an A/B-able lever against shm page-churn windows).
         import pyarrow as pa
 
-        pa.jemalloc_set_decay_ms(1000)
+        pa.jemalloc_set_decay_ms(
+            int(os.environ.get("UPXR_JEMALLOC_DECAY_MS", "1000"))
+        )
     except Exception:
         pass
     return bool(ok)

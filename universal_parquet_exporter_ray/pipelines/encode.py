@@ -406,14 +406,78 @@ def encode_dataset(
         # peak memory per task)
         _sb = os.environ.get("UPXR_SPILL_BATCH", "100000")
         spill_batch = None if _sb.lower() == "none" else int(_sb)
-        acks = ds.map_batches(
-            spill, batch_format="pyarrow", zero_copy_batch=True, batch_size=spill_batch
+        # UPXR_SPILL_SELFREAD=1: spill tasks read their OWN parquet row
+        # groups (the classic shuffle-map shape) instead of consuming a
+        # ReadParquet operator's output. The unfused two-operator plan
+        # round-trips the entire decoded input through the object store
+        # between read and spill — the job's single biggest shm
+        # page-allocation source; Ray 2.49's read→map fusion can't be used
+        # instead because it requires file-granular read tasks (SplitBlocks
+        # and any finite batch_size both disable the fusion rule, verified
+        # empirically), and one-task-per-FILE quantizes the load across
+        # slots. Self-read keeps row-group granularity AND zero exchange of
+        # source rows: one task per ~spill_batch rows of row groups.
+        # Default ON (r4 A/B at 16 CPUs: spill 4.6-5.1 s vs 6.4-8.4 s, job
+        # 10.1-10.3 s vs 13.3-23.4 s, and the job's churn-window sensitivity
+        # collapses with the shm traffic); output verified bit-identical to
+        # the Dataset-read path. UPXR_SPILL_SELFREAD=0 restores the
+        # two-operator plan.
+        selfread = (
+            os.environ.get("UPXR_SPILL_SELFREAD", "1") == "1" and bool(src_files)
         )
+        if selfread:
+            import pyarrow.parquet as pq
+
+            items = []
+            for f in src_files:
+                md = pq.read_metadata(f)
+                cur: list[int] = []
+                cur_rows = 0
+                for rg in range(md.num_row_groups):
+                    cur.append(rg)
+                    cur_rows += md.row_group(rg).num_rows
+                    if spill_batch and cur_rows >= spill_batch:
+                        items.append({"file": f, "rgs": cur})
+                        cur, cur_rows = [], 0
+                if cur:
+                    items.append({"file": f, "rgs": cur})
+
+            def spill_selfread(batch: pa.Table) -> pa.Table:
+                from ..stages.exchange import ACK_SCHEMA
+
+                out = []
+                for row in batch.to_pylist():
+                    t = pq.ParquetFile(row["file"]).read_row_groups(
+                        [int(r) for r in row["rgs"]]
+                    )
+                    out.append(spill(t.replace_schema_metadata(None)))
+                return (
+                    pa.concat_tables(out) if out else ACK_SCHEMA.empty_table()
+                )
+
+            acks = ray.data.from_items(
+                items, override_num_blocks=len(items)
+            ).map_batches(spill_selfread, batch_format="pyarrow", batch_size=None)
+        else:
+            acks = ds.map_batches(
+                spill,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=spill_batch,
+            )
         # barrier: one tiny ack row per chunk file. Stage 2 reads ONLY the
         # files named here (commit-by-ack): orphan chunks from failed task
         # attempts are never read, so retries can't duplicate or drop rows.
         ack_df = acks.to_pandas()
         _mark("spill")
+        if len(ack_df) and "busy_s" in ack_df:
+            # decomposition of the spill wall (diagnostics): UDF busy time,
+            # and worker CPU (utime/stime deltas, parquet read included since
+            # the read fuses into the same worker process)
+            LAST_PHASES["spill_busy_s"] = round(float(ack_df.busy_s.sum()), 2)
+            LAST_PHASES["spill_cpu_s"] = round(float(ack_df.cpu_s.sum()), 2)
+            LAST_PHASES["spill_sys_s"] = round(float(ack_df.sys_s.sum()), 2)
+            LAST_PHASES["spill_mb"] = round(float(ack_df.bytes.sum()) / 1e6, 1)
         if len(ack_df):
             grouped = ack_df.groupby("pid", sort=True)
             # (file, offset, length) ranges into the per-batch map-output

@@ -49,8 +49,24 @@ ACK_SCHEMA = pa.schema(
         ("off", pa.int64()),
         ("rows", pa.int64()),
         ("bytes", pa.int64()),
+        # per-call timing, recorded on the FIRST ack row of each spill call
+        # (0 elsewhere): wall + thread-CPU seconds inside the fused
+        # read→assign→split→spill UDF. Summed by encode_dataset into
+        # LAST_PHASES["spill_busy_s"/"spill_cpu_s"] so scaling decompositions
+        # can split the spill phase into task busy time vs scheduling gaps.
+        ("busy_s", pa.float64()),
+        ("cpu_s", pa.float64()),
+        ("sys_s", pa.float64()),
     ]
 )
+
+# per-worker-process rusage watermark: successive spill calls report the
+# process CPU delta since the previous call, so the sum over all ack rows
+# equals total worker CPU spent in the fused read→spill stage (parquet
+# decode included — the read fuses into the same task/process). Keyed by the
+# job's exchange dir: a reused worker's first call in a NEW job re-baselines
+# instead of absorbing the previous job's post-spill CPU.
+_LAST_RU: list = []  # [utime, stime, job_key]
 
 
 EXCHANGE_COMPRESSION = os.environ.get("UPXR_EXCHANGE_COMPRESSION", "lz4")
@@ -103,6 +119,10 @@ class SpillPartitions:
         self.exchange_dir = exchange_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import resource
+        import time as _time
+
+        _t0 = _time.monotonic()
         if batch.num_rows == 0:
             return ACK_SCHEMA.empty_table()
         # vectorized split: dictionary-encode the key, sort by code, slice runs
@@ -140,14 +160,29 @@ class SpillPartitions:
             for buf in bufs:
                 f.write(buf)
         os.replace(tmp, os.path.join(self.exchange_dir, name))
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        if _LAST_RU and _LAST_RU[2] == self.exchange_dir:
+            cpu_s = ru.ru_utime - _LAST_RU[0]
+            sys_s = ru.ru_stime - _LAST_RU[1]
+            _LAST_RU[0], _LAST_RU[1] = ru.ru_utime, ru.ru_stime
+        else:
+            # first call in this worker for this job: no baseline (process
+            # lifetime / prior-job CPU would overcount) — report 0
+            cpu_s = sys_s = 0.0
+            _LAST_RU[:] = [ru.ru_utime, ru.ru_stime, self.exchange_dir]
+        n = len(bufs)
+        timing = lambda v: pa.array([v] + [0.0] * (n - 1), type=pa.float64())  # noqa: E731
         return pa.table(
             {
                 "pid": pa.array(acks["pid"], type=pa.string()),
                 "raw": pa.array(acks["raw"], type=pa.string()),
-                "file": pa.array([name] * len(bufs), type=pa.string()),
+                "file": pa.array([name] * n, type=pa.string()),
                 "off": pa.array(acks["off"], type=pa.int64()),
                 "rows": pa.array(acks["rows"], type=pa.int64()),
                 "bytes": pa.array(acks["bytes"], type=pa.int64()),
+                "busy_s": timing(_time.monotonic() - _t0),
+                "cpu_s": timing(cpu_s),
+                "sys_s": timing(sys_s),
             }
         )
 

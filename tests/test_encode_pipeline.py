@@ -396,9 +396,12 @@ def test_spill_selfread_parity(tmp_path, ray_session, monkeypatch):
     pq.write_table(pa.Table.from_pandas(df[n // 2 :]), f"{src}/b.parquet", row_group_size=400)
 
     results = {}
-    for flag in ("1", "0"):
+    # all three spill dispatch forms must agree: self-read raw tasks
+    # (default), self-read via from_items/map_batches, Dataset-read
+    for flag, raw in (("1", "1"), ("1", "0"), ("0", "1")):
         monkeypatch.setenv("UPXR_SPILL_SELFREAD", flag)
-        out = str(tmp_path / f"out{flag}")
+        monkeypatch.setenv("UPXR_SPILL_RAW", raw)
+        out = str(tmp_path / f"out{flag}_{raw}")
         m = encode_dataset(
             src, out, partition_by="repo", hash_cols=["path"], target_rows_per_partition=300
         ).to_pandas()
@@ -408,13 +411,18 @@ def test_spill_selfread_parity(tmp_path, ray_session, monkeypatch):
             .sort_values(["repo", "path"])
             .reset_index(drop=True)
         )
-        results[flag] = (m.sort_values("partition_id").reset_index(drop=True), dec)
+        results[(flag, raw)] = (
+            m.sort_values("partition_id").reset_index(drop=True),
+            dec,
+        )
 
-    m1, d1 = results["1"]
-    m0, d0 = results["0"]
-    assert m1.partition_id.tolist() == m0.partition_id.tolist()
-    assert m1.n_rows.tolist() == m0.n_rows.tolist()
-    # NOT encoded_bytes: intra-partition chunk order follows the uuid map-file
-    # names, so order-sensitive codecs (RLE) may differ by a few bytes between
-    # any two runs — of the same plan included. Content is the invariant.
-    pd.testing.assert_frame_equal(d1, d0)
+    m1, d1 = results[("1", "1")]
+    for key in (("1", "0"), ("0", "1")):
+        m0, d0 = results[key]
+        assert m1.partition_id.tolist() == m0.partition_id.tolist()
+        assert m1.n_rows.tolist() == m0.n_rows.tolist()
+        # NOT encoded_bytes: intra-partition chunk order follows the uuid
+        # map-file names, so order-sensitive codecs (RLE) may differ by a few
+        # bytes between any two runs — of the same plan included. Content is
+        # the invariant.
+        pd.testing.assert_frame_equal(d1, d0)

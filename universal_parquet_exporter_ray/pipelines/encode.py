@@ -455,9 +455,36 @@ def encode_dataset(
                     pa.concat_tables(out) if out else ACK_SCHEMA.empty_table()
                 )
 
-            acks = ray.data.from_items(
-                items, override_num_blocks=len(items)
-            ).map_batches(spill_selfread, batch_format="pyarrow", batch_size=None)
+            if os.environ.get("UPXR_SPILL_RAW", "1") == "1":
+                # default: one plain Ray task per row-group split, same
+                # rationale as UPXR_WAVE_RAW — the ack Dataset is
+                # materialized to pandas immediately, so the streaming
+                # executor was purely an execution vehicle and its
+                # setup/teardown is a flat per-leg cost. Tasks retry like
+                # Dataset blocks and stay idempotent under commit-by-ack
+                # (a failed attempt's orphan map-output file is never
+                # acked, hence never read). UPXR_SPILL_RAW=0 restores the
+                # from_items/map_batches path.
+                from ..stages.exchange import ACK_SCHEMA
+
+                @ray.remote(num_cpus=1)
+                def _spill_task(item):
+                    t = pq.ParquetFile(item["file"]).read_row_groups(
+                        [int(r) for r in item["rgs"]]
+                    )
+                    return spill(t.replace_schema_metadata(None))
+
+                tabs = [t for t in ray.get([_spill_task.remote(it) for it in items]) if t.num_rows]
+                ack_df = (
+                    pa.concat_tables(tabs) if tabs else ACK_SCHEMA.empty_table()
+                ).to_pandas()
+            else:
+                acks = ray.data.from_items(
+                    items, override_num_blocks=len(items)
+                ).map_batches(
+                    spill_selfread, batch_format="pyarrow", batch_size=None
+                )
+                ack_df = acks.to_pandas()
         else:
             acks = ds.map_batches(
                 spill,
@@ -465,10 +492,11 @@ def encode_dataset(
                 zero_copy_batch=True,
                 batch_size=spill_batch,
             )
-        # barrier: one tiny ack row per chunk file. Stage 2 reads ONLY the
-        # files named here (commit-by-ack): orphan chunks from failed task
-        # attempts are never read, so retries can't duplicate or drop rows.
-        ack_df = acks.to_pandas()
+            # barrier: one tiny ack row per chunk file. Stage 2 reads ONLY
+            # the files named here (commit-by-ack): orphan chunks from
+            # failed task attempts are never read, so retries can't
+            # duplicate or drop rows.
+            ack_df = acks.to_pandas()
         _mark("spill")
         if len(ack_df) and "busy_s" in ack_df:
             # decomposition of the spill wall (diagnostics): UDF busy time,

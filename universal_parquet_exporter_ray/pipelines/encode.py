@@ -428,6 +428,17 @@ def encode_dataset(
         if selfread:
             import pyarrow.parquet as pq
 
+            # UPXR_SPILL_READ_THREADS=1 restores pyarrow's default threaded
+            # column decode. Default OFF: each spill task is scheduled at
+            # num_cpus=1, and use_threads=True makes every task spawn a
+            # machine-wide Arrow thread pool (≈ #columns threads per task ×
+            # 16 concurrent tasks on 16 CPUs) — oversubscription with no
+            # parallelism to gain, visible as lo-leg utime 31.0 vs 27.5
+            # core-s pre-self-read (runs r4-BP/BQ vs r4-BM).
+            _rd_threads = (
+                os.environ.get("UPXR_SPILL_READ_THREADS", "0") == "1"
+            )
+
             items = []
             for f in src_files:
                 md = pq.read_metadata(f)
@@ -448,7 +459,7 @@ def encode_dataset(
                 out = []
                 for row in batch.to_pylist():
                     t = pq.ParquetFile(row["file"]).read_row_groups(
-                        [int(r) for r in row["rgs"]]
+                        [int(r) for r in row["rgs"]], use_threads=_rd_threads
                     )
                     out.append(spill(t.replace_schema_metadata(None)))
                 return (
@@ -470,7 +481,7 @@ def encode_dataset(
                 @ray.remote(num_cpus=1)
                 def _spill_task(item):
                     t = pq.ParquetFile(item["file"]).read_row_groups(
-                        [int(r) for r in item["rgs"]]
+                        [int(r) for r in item["rgs"]], use_threads=_rd_threads
                     )
                     return spill(t.replace_schema_metadata(None))
 

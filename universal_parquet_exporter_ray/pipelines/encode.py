@@ -353,6 +353,10 @@ def encode_dataset(
     pool = concurrency or default_pool_size()
     if isinstance(pool, tuple):  # (min, max) autoscaling form → fixed max
         pool = pool[-1]
+    # set by the raw-task encode wave: the manifest tables it returned by
+    # value (finalize then skips re-reading those partitions from disk)
+    wave_tables: Optional[list] = None
+    rm_thread = None
     if shuffle == "groupby":
         assigned = ds.map_batches(
             lambda b: drop_done(assign(b)), batch_format="pyarrow", zero_copy_batch=True
@@ -587,22 +591,23 @@ def encode_dataset(
                 lineage_json=_json.dumps(full_lineage, sort_keys=True),
             )
             if os.environ.get("UPXR_WAVE_RAW", "1") == "1":
-                # default: submit each bin as a plain Ray task. The wave's
-                # Dataset output is discarded (the manifest re-reads disk),
-                # so the from_items/map_batches pipeline was purely an
-                # execution vehicle — and its streaming-executor setup/
-                # teardown costs ~1 s of wave wall at 16 workers in matched
-                # windows (6.2-6.9 s vs 7.1-8.3 s, identical task utime).
-                # Tasks retry like Dataset blocks (idempotent: atomic
-                # partition writes, manifest-last). UPXR_WAVE_RAW=0 restores
-                # the Ray Data path.
+                # default: submit each bin as a plain Ray task. The
+                # from_items/map_batches pipeline was purely an execution
+                # vehicle — its streaming-executor setup/teardown costs ~1 s
+                # of wave wall at 16 workers in matched windows (6.2-6.9 s vs
+                # 7.1-8.3 s, identical task utime). Tasks retry like Dataset
+                # blocks (idempotent: atomic partition writes,
+                # manifest-last). UPXR_WAVE_RAW=0 restores the Ray Data path.
+                # The returned tables ARE the manifest rows each task wrote
+                # (encoder.py::encode_partition returns its own atomic
+                # manifest write), so finalize below skips re-reading them.
                 import pyarrow as _pa
 
                 @ray.remote(num_cpus=1)
                 def _bin_task(item):
                     return encode_fn(_pa.Table.from_pylist([item]))
 
-                ray.get([_bin_task.remote(it) for it in items])
+                wave_tables = ray.get([_bin_task.remote(it) for it in items])
             else:
                 pid_ds = ray.data.from_items(
                     items, override_num_blocks=len(items)
@@ -612,12 +617,36 @@ def encode_dataset(
                 )
                 manifest.to_pandas()
             _mark("encode_wave")
-        shutil.rmtree(exchange_dir, ignore_errors=True)
+        # transient exchange chunks: delete in a background thread so the
+        # (disk-bound, ~0.15 s on the 2 GB fixture) rmtree overlaps the
+        # manifest finalize instead of serializing before it
+        import threading
+
+        rm_thread = threading.Thread(
+            target=shutil.rmtree, args=(exchange_dir,), kwargs={"ignore_errors": True}
+        )
+        rm_thread.start()
         _mark("cleanup")
     else:
         raise ValueError(f"unknown shuffle mode {shuffle!r}")
     os.makedirs(out_dir, exist_ok=True)
-    out = ray.data.from_arrow(read_manifest(out_dir).cast(MANIFEST_SCHEMA))
+    if wave_tables is not None:
+        # raw-wave fast path: this run's manifest rows came back by value;
+        # only resume-skipped partitions (rows on disk the wave did not
+        # write) still need the disk read — zero files on a fresh run
+        # (0.4–0.5 s of finalize wall per leg at the 8M-row scale point)
+        wave_pids: set = set()
+        for t in wave_tables:
+            wave_pids.update(t["partition_id"].to_pylist())
+        rest = read_manifest(out_dir, skip_pids=wave_pids, allow_empty=True)
+        mtab = pa.concat_tables([rest.cast(MANIFEST_SCHEMA)] + list(wave_tables))
+        if not mtab.num_rows:
+            raise FileNotFoundError(f"no manifest rows under {out_dir}")
+    else:
+        mtab = read_manifest(out_dir).cast(MANIFEST_SCHEMA)
+    out = ray.data.from_arrow(mtab)
+    if rm_thread is not None:
+        rm_thread.join()
     _mark("finalize")
     return out
 

@@ -89,10 +89,25 @@ def completed_partitions(out_dir: str) -> set[str]:
     }
 
 
-def read_manifest(out_dir: str) -> pa.Table:
+def read_manifest(
+    out_dir: str,
+    skip_pids: "set[str] | None" = None,
+    allow_empty: bool = False,
+) -> pa.Table:
+    """Manifest rows as one table. ``skip_pids`` excludes partitions whose
+    rows the caller already holds by value (the raw-task encode wave returns
+    its own manifest writes); the manifest file name IS the partition_id."""
     files = sorted(glob.glob(os.path.join(manifest_path(out_dir), "*.parquet")))
-    if not files:
+    if not files and not allow_empty:
         raise FileNotFoundError(f"no manifest rows under {manifest_path(out_dir)}")
+    if skip_pids:
+        files = [
+            f
+            for f in files
+            if os.path.splitext(os.path.basename(f))[0] not in skip_pids
+        ]
+    if not files:
+        return MANIFEST_SCHEMA.empty_table()
     # one tiny file per partition: a sequential loop costs ~1 s fixed per
     # thousand partitions on the driver. The directory-level read (pyarrow
     # dataset, C-threaded) is ~2× faster than a 32-thread Python pool

@@ -104,6 +104,19 @@ def test_resume_skips_completed(encoded):
     # untouched partitions were NOT re-encoded
     for f, mt in mtimes_kept.items():
         assert os.path.getmtime(f) == mt
+    # the returned manifest (wave-returned rows for the re-encoded victims,
+    # merged with the disk rows of resume-skipped partitions) must equal
+    # the on-disk manifest read back whole
+    from universal_parquet_exporter_ray.state.manifest import read_manifest
+
+    disk = (
+        read_manifest(out)
+        .to_pandas()
+        .sort_values("partition_id")
+        .reset_index(drop=True)
+    )
+    ret = m2.sort_values("partition_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ret[disk.columns.tolist()], disk)
     assert verify_roundtrip(src, out).ok.all()
 
 

@@ -489,6 +489,39 @@ def test_zstd3_roundtrip_and_selection_bias():
         assert choice.codec == want
 
 
+def test_zstd2_roundtrip_gate_and_selection_bias():
+    # same wire format as zstd/zstd3 (frame carries its own level)
+    arr = pa.array(["def f(x):\n    return x + %d\n" % i for i in range(2000)])
+    roundtrip(arr, "zstd2")
+    roundtrip(pa.array(["a", None, "b"] * 200), "zstd2")
+    roundtrip(pa.array(np.arange(1000, dtype=np.int64)), "zstd2")
+    from universal_parquet_exporter_ray.codecs import get_codec
+    from universal_parquet_exporter_ray.selector import candidate_codecs, select_codec
+    from universal_parquet_exporter_ray.stats import column_stats
+
+    stats = column_stats(arr)
+    cands = candidate_codecs(arr.type, stats)
+    assert "zstd2" in cands
+    assert get_codec("zstd2").cost_factor == 0.83
+    # env gate: UPXR_ZSTD2=0 removes the candidate (A/B toggle)
+    import os
+
+    os.environ["UPXR_ZSTD2"] = "0"
+    try:
+        assert "zstd2" not in candidate_codecs(arr.type, stats)
+    finally:
+        os.environ.pop("UPXR_ZSTD2")
+    # cost-adjusted comparison is honored among the zstd twins (selector
+    # ranks a 64KB sample, we rank the full array — allow sampling noise)
+    choice = select_codec(arr)
+    if choice.codec in ("zstd", "zstd2", "zstd3"):
+        sizes = {
+            n: len(get_codec(n).encode(arr).payload) * get_codec(n).cost_factor
+            for n in ("zstd", "zstd2", "zstd3")
+        }
+        assert sizes[choice.codec] <= min(sizes.values()) * 1.05
+
+
 def test_fsst2_chunk_boundary_escapes():
     """Chunked pairs encoding: 0xFF-heavy binary data stresses the
     escape-run invariant across PAIRS_CHUNK boundaries."""

@@ -20,12 +20,13 @@ from .alp import AlpCodec
 from .dictionary import ConstantCodec, DictCodec
 from .fsst import Fsst2Codec, FsstCodec
 from .intcodec import BitPackCodec, DeltaCodec, ForPackCodec, RleCodec
-from .plain import ByteShuffleZstdCodec, PlainCodec, Zstd3Codec, ZstdCodec
+from .plain import ByteShuffleZstdCodec, PlainCodec, Zstd2Codec, Zstd3Codec, ZstdCodec
 from .vector import VecShuffleZstdCodec
 
 register_codec(PlainCodec())
 register_codec(ZstdCodec())
 register_codec(Zstd3Codec())
+register_codec(Zstd2Codec())
 register_codec(ByteShuffleZstdCodec())
 register_codec(BitPackCodec())
 register_codec(ForPackCodec())

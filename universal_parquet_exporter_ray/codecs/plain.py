@@ -107,6 +107,29 @@ class Zstd3Codec(ZstdCodec):
         super().__init__(level=3)
 
 
+class Zstd2Codec(ZstdCodec):
+    """zstd level 2 — the fast-twin one notch below ``zstd3``.
+
+    Measured on the synthetic source-code corpus (round 4, same buffers as
+    the Zstd3Codec numbers): level 2 compresses `content` at 225 MB/s/core
+    vs level 3's 148 (1.52×) at 9.7% larger output (0.2866 vs 0.2613), and
+    on the 40-hex `commit` column it is BOTH 4× faster (599 vs 151 MB/s)
+    and smaller (0.5008 vs 0.5202) — level 3's lazy-match search buys
+    nothing on fixed-width hex. Level 1 is strictly dominated by level 2 on
+    this corpus (same speed, 7% larger on text), so level 2 is the twin.
+
+    The selector cost_factor (0.83) makes level 2 win unless level 3 buys
+    >10.8% size (it doesn't on any corpus column measured) or level 6 buys
+    >17%. Encoded frames decode through the inherited plain-zstd path (the
+    zstd frame carries its own level)."""
+
+    name = "zstd2"
+    cost_factor = 0.83
+
+    def __init__(self):
+        super().__init__(level=2)
+
+
 class ByteShuffleZstdCodec(Codec):
     """Byte-transpose + zstd for fixed-width numerics: grouping the k-th
     byte of every value together exposes the low-entropy exponent/high

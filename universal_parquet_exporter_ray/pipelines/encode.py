@@ -126,12 +126,17 @@ def make_assigner(
     column-pruned groupby-count feeds the salt/merge plan (hot keys split,
     small keys bin-packed); the plan dict broadcasts with the stage closure.
     ``key_counts`` (precomputed, e.g. by ``_plan_key_counts``) skips the
-    Dataset counting pass entirely."""
+    Dataset counting pass entirely. ``ds`` may be a zero-arg callable that
+    constructs the Dataset on first use — with precomputed ``key_counts``
+    the Dataset is never needed, and constructing one eagerly costs a
+    per-file metadata prefetch at every ``encode_dataset`` call."""
     if partition_by is not None and key_counts is not None:
         salt_map, merge_map = build_partition_plan(key_counts, target_rows)
         assign = AssignPartitions(partition_by, hash_cols, salt_map, 16, merge_map)
         assign.total_rows = int(sum(key_counts.values()))
         return assign
+    if callable(ds):
+        ds = ds()
     if partition_by is not None:
         # per-batch partial value_counts (combiner) + tiny driver merge — a
         # full groupby shuffle for a single count column costs seconds of
@@ -277,10 +282,30 @@ def encode_dataset(
         blocks = rtpc * cpus
         if src_bytes:
             blocks = min(blocks, max(cpus, src_bytes // (16 << 20)))
-        ds = read_parquet_clean(source, override_num_blocks=int(blocks))
+        # LAZY: the default hot path (precomputed salt plan + self-read
+        # spill) never consumes this Dataset, and constructing it eagerly
+        # costs a per-file parquet-metadata prefetch (remote tasks over all
+        # input files — 0.1-0.6 s on the 40-file scaling fixture, worse at
+        # low parallelism). Only the groupby-shuffle branch, the
+        # UPXR_SPILL_SELFREAD=0 fallback, and the no-key-counts assigner
+        # path materialize it.
+        _blocks = int(blocks)
+        _lazy_ds: list = []
+
+        def get_ds() -> "ray.data.Dataset":
+            if not _lazy_ds:
+                _lazy_ds.append(
+                    read_parquet_clean(source, override_num_blocks=_blocks)
+                )
+            return _lazy_ds[0]
+
     else:
-        ds = _to_dataset(source)
+        _src_ds = _to_dataset(source)
         src_files = []
+
+        def get_ds() -> "ray.data.Dataset":
+            return _src_ds
+
     if hash_cols is None:
         if src_files:
             # one footer read (~ms) instead of ds.schema()'s metadata pass;
@@ -293,7 +318,7 @@ def encode_dataset(
             # schema() costs a full metadata pass + the first-op worker
             # warmup — only pay it when the caller didn't name the
             # tie-break columns and gave a Dataset, not a path
-            hash_cols = [ds.schema().names[0]]
+            hash_cols = [get_ds().schema().names[0]]
     _mark("schema")
 
     plan_counts = (
@@ -302,7 +327,7 @@ def encode_dataset(
         else None
     )
     assign = make_assigner(
-        ds,
+        get_ds,
         partition_by,
         hash_cols,
         target_rows_per_partition,
@@ -358,7 +383,7 @@ def encode_dataset(
     wave_tables: Optional[list] = None
     rm_thread = None
     if shuffle == "groupby":
-        assigned = ds.map_batches(
+        assigned = get_ds().map_batches(
             lambda b: drop_done(assign(b)), batch_format="pyarrow", zero_copy_batch=True
         )
         # callable CLASS → actor pool: codec registry + lineage built once
@@ -501,7 +526,7 @@ def encode_dataset(
                 )
                 ack_df = acks.to_pandas()
         else:
-            acks = ds.map_batches(
+            acks = get_ds().map_batches(
                 spill,
                 batch_format="pyarrow",
                 zero_copy_batch=True,

@@ -39,6 +39,7 @@ reference writer (``/root/reference/src/export/parquet_writer.py:10-11``).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional, Union
 
 import pyarrow as pa
@@ -546,6 +547,18 @@ def encode_dataset(
             LAST_PHASES["spill_cpu_s"] = round(float(ack_df.cpu_s.sum()), 2)
             LAST_PHASES["spill_sys_s"] = round(float(ack_df.sys_s.sum()), 2)
             LAST_PHASES["spill_mb"] = round(float(ack_df.bytes.sum()) / 1e6, 1)
+            if os.environ.get("UPXR_SPILL_DEBUG") == "1":
+                # per-call busy distribution (the first ack row of each spill
+                # call carries busy_s>0) — slot-idle diagnostics
+                b = ack_df.busy_s[ack_df.busy_s > 0]
+                print(
+                    "[upxr-spill] calls=%d busy sum=%.2f min=%.3f p50=%.3f "
+                    "p90=%.3f max=%.3f" % (
+                        len(b), b.sum(), b.min(), b.quantile(0.5),
+                        b.quantile(0.9), b.max(),
+                    ),
+                    file=sys.stderr, flush=True,
+                )
         if len(ack_df):
             grouped = ack_df.groupby("pid", sort=True)
             # (file, offset, length) ranges into the per-batch map-output

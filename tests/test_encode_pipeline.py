@@ -439,3 +439,36 @@ def test_spill_selfread_parity(tmp_path, ray_session, monkeypatch):
         # bytes between any two runs — of the same plan included. Content is
         # the invariant.
         pd.testing.assert_frame_equal(d1, d0)
+
+
+def test_encode_from_dataset_source(ray_session, source_files_path, tmp_path):
+    """encode_dataset accepts an in-memory ``ray.data.Dataset`` source (no
+    parquet files on disk): the salt plan then comes from the distributed
+    counting pass and the spill consumes the Dataset itself — the branch
+    pair left cold by the default path's precomputed-plan + self-read
+    shortcuts (both shortcuts require ``src_files``)."""
+    import ray
+
+    df = (
+        pq.read_table(source_files_path)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = str(tmp_path / "from_ds")
+    mdf = encode_dataset(
+        ds,
+        out,
+        partition_by="repo",
+        hash_cols=["path"],
+        target_rows_per_partition=500,
+    ).to_pandas()
+    assert int(mdf.n_rows.sum()) == len(df)
+    dec = (
+        decoded_dataset(out)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dec[df.columns.tolist()], df)

@@ -1007,3 +1007,54 @@ def test_combiner_partial_finish_matches_pandas(rows, n_chunks, data):
     )
     got = got[exp.columns.tolist()]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_keep_best_partial_merge_algebra():
+    """Merging per-chunk keep-best partials is exact regardless of how the
+    member rows are split into batches (algebraic aggregate property)."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        merge_keep_best_partials,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    rows = pd.DataFrame(
+        {
+            "cluster_id": rng.integers(0, 40, n).astype(np.int64),
+            "kept_doc": np.arange(n, dtype=np.int64),
+            "best_tok": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+    direct = merge_keep_best_partials(rows, counts_col=None)
+    for n_chunks in (1, 3, 7):
+        chunks = np.array_split(np.arange(n), n_chunks)
+        partials = pd.concat(
+            [
+                merge_keep_best_partials(
+                    rows.iloc[idx].reset_index(drop=True), counts_col=None
+                )
+                for idx in chunks
+            ],
+            ignore_index=True,
+        )
+        merged = merge_keep_best_partials(partials)
+        pd.testing.assert_frame_equal(
+            merged.sort_values("cluster_id").reset_index(drop=True), direct
+        )
+
+
+def test_keep_best_distributed_final_matches_driver(ray_session, monkeypatch):
+    """q_dedup_keep_best's distributed coarse-partition final reduce (forced
+    by a zero cap) must equal the driver pandas merge path."""
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        q_dedup_keep_best,
+    )
+    from universal_parquet_exporter_ray.stages import agg
+
+    sf = "/root/testdata/sf0.001"
+    driver = q_dedup_keep_best(sf)
+    monkeypatch.setattr(agg, "FINAL_REDUCE_CAP", 0)
+    dist = q_dedup_keep_best(sf)
+    pd.testing.assert_frame_equal(driver, dist)

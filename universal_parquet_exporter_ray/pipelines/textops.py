@@ -264,6 +264,134 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(edges)
 
 
+_KEEP_BEST_ORACLE_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE 2 * i >= ca.n + cb.n - i
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(x, y) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a
+),
+lab AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+alldocs AS (
+  SELECT d.doc_id,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         len(regexp_extract_all(coalesce(d.text, ''), '\\S+')) AS n_tok
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_tok,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM alldocs
+)
+SELECT cluster_id, doc_id AS kept_doc,
+       CAST(n_tok AS BIGINT) AS best_tok,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("dedup_keep_best", _KEEP_BEST_ORACLE_SQL)
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup cluster REPRESENTATIVE selection — the retention step after
+    clustering in a production fuzzy-dedup pipeline: every document maps to
+    its near-dup component (singletons are their own cluster) and each
+    cluster keeps its best member (max token count, min doc_id tiebreak),
+    with the member count reported per cluster.
+
+    Plan: the distributed minhash→verify→connected-components machinery of
+    ``dedup_clusters`` yields the OUTPUT-sized doc→component map (only docs
+    incident to a verified edge appear). The map broadcasts through
+    ``thresholded_stage`` — task-closure under the 4 MiB budget, by-value
+    actor pool above it — into ONE corpus pass that emits per-batch
+    per-cluster ARGMAX PARTIALS (algebraic: sum counts, argmax of
+    argmaxes), so only cluster-sized rows ever leave a worker. The final
+    reduce is size-thresholded like ``stages/agg.py``: driver pandas merge
+    under the cap, coarse-partition groupby merge above it (the 100-TB
+    path, where cluster count scales with the corpus). On a dup-heavy
+    crawl whose component map outgrows any broadcast budget, the doc→label
+    tagging falls back to the distributed hash join (``verify_pairs``'s
+    documented switch) — the partial/merge stages are unchanged."""
+    from ..stages import thresholded_stage
+    from ..stages.agg import FINAL_REDUCE_CAP
+    from ..stages.dedup import (
+        ClusterBestPartial,
+        _doc_part,
+        merge_keep_best_partials,
+    )
+
+    clusters = q_dedup_clusters(sf_dir)
+    cdf = (
+        clusters
+        if isinstance(clusters, pd.DataFrame)
+        else clusters.to_pandas()
+    )
+    cmap = dict(
+        zip(
+            cdf["doc_id"].to_numpy(dtype=np.int64),
+            cdf["cluster_id"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+    partials = thresholded_stage(
+        ds,
+        ClusterBestPartial,
+        {"cmap": cmap},
+        payload_nbytes=len(cmap) * 16 + 64,
+        concurrency=(1, 4),
+        batch_format="pandas",
+    ).materialize()
+
+    if partials.count() <= FINAL_REDUCE_CAP:
+        out = merge_keep_best_partials(partials.to_pandas())
+    else:
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cp"] = _doc_part(
+                df["cluster_id"].to_numpy(dtype=np.int64), 64
+            )
+            return df
+
+        def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+            return merge_keep_best_partials(g.drop(columns=["cp"]))
+
+        out = (
+            partials.map_batches(stamp, batch_format="pandas")
+            .groupby("cp")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas()
+        )
+    return (
+        out[["cluster_id", "kept_doc", "best_tok", "n_members"]]
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+
+
 NGRAM_JACCARD_ORACLE_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents

@@ -1106,3 +1106,78 @@ def _doc_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
     """Coarse doc-hash partition (Fibonacci mixer, stable cross-process)."""
     h = ids.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int64)
+
+
+_KEEP_BEST_COLS = ["cluster_id", "kept_doc", "best_tok", "n_members"]
+
+
+def _keep_best_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in _KEEP_BEST_COLS}
+    )
+
+
+class ClusterBestPartial:
+    """(doc_id, text) batch → per-cluster ARGMAX PARTIAL for representative
+    selection: one row per cluster present in the batch, carrying the
+    batch-local best member (max token count, min doc_id tiebreak) and the
+    batch-local member count. Partials are algebraic — merging two partials
+    with the same rule (sum counts, argmax of argmaxes) is exact — so only
+    cluster-sized rows ever reach an exchange, never documents.
+
+    ``cmap`` (doc_id → cluster component minimum, OUTPUT-sized: only docs
+    incident to a verified near-dup edge appear) is passed by value;
+    unmapped docs are their own singleton cluster. The lookup is a
+    vectorized Int64 reindex — no float round-trip, so 2^53+ doc ids stay
+    exact."""
+
+    def __init__(self, cmap: dict):
+        self.cs = pd.Series(cmap, dtype="Int64")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _keep_best_empty()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        n_tok = (
+            df["text"].fillna("").str.count(r"\S+").to_numpy(dtype=np.int64)
+        )
+        if len(self.cs):
+            looked = self.cs.reindex(ids)
+            mask = looked.isna().to_numpy()
+            filled = looked.to_numpy(dtype=np.int64, na_value=0)
+            cl = np.where(mask, ids, filled)
+        else:
+            cl = ids
+        tmp = pd.DataFrame(
+            {"cluster_id": cl, "kept_doc": ids, "best_tok": n_tok}
+        )
+        return merge_keep_best_partials(tmp, counts_col=None)
+
+
+def merge_keep_best_partials(
+    df: pd.DataFrame, counts_col: str | None = "n_members"
+) -> pd.DataFrame:
+    """Merge keep-best partial rows (or raw member rows when
+    ``counts_col=None``: each row then counts 1): per cluster, sum member
+    counts and keep the (best_tok DESC, kept_doc ASC) argmax row."""
+    if len(df) == 0:
+        return _keep_best_empty()
+    if counts_col is None:
+        counts = df.groupby("cluster_id", sort=False).size()
+    else:
+        counts = df.groupby("cluster_id", sort=False)[counts_col].sum()
+    best = df.sort_values(
+        ["cluster_id", "best_tok", "kept_doc"],
+        ascending=[True, False, True],
+        kind="stable",
+    ).drop_duplicates("cluster_id", keep="first")
+    return pd.DataFrame(
+        {
+            "cluster_id": best["cluster_id"].to_numpy(dtype=np.int64),
+            "kept_doc": best["kept_doc"].to_numpy(dtype=np.int64),
+            "best_tok": best["best_tok"].to_numpy(dtype=np.int64),
+            "n_members": counts.loc[best["cluster_id"]].to_numpy(
+                dtype=np.int64
+            ),
+        }
+    ).reset_index(drop=True)

@@ -1058,3 +1058,67 @@ def test_keep_best_distributed_final_matches_driver(ray_session, monkeypatch):
     monkeypatch.setattr(agg, "FINAL_REDUCE_CAP", 0)
     dist = q_dedup_keep_best(sf)
     pd.testing.assert_frame_equal(driver, dist)
+
+
+def test_lsh_band_emit_banding_properties():
+    """Pure-unit LshBandEmit: one replica per band, band index in the high
+    bits, identical vectors collide in EVERY band, and r=0 degenerates to a
+    single global bucket with one replica."""
+    from universal_parquet_exporter_ray.stages.ann import LshBandEmit
+
+    rng = np.random.default_rng(3)
+    bands, r, dim, n = 4, 5, 8, 30
+    planes = rng.standard_normal((bands * r, dim))
+    mat = rng.normal(0, 1, (n, dim))
+    mat[7] = mat[19]  # identical pair -> collides in all bands
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)}
+    )
+    out = LshBandEmit(planes, bands, r)(df)
+    assert len(out) == n * bands
+    per_row = out.groupby("vec_id")["bh"].apply(
+        lambda s: sorted(s.to_numpy() >> r)
+    )
+    assert all(list(v) == list(range(bands)) for v in per_row)
+    bh7 = set(out.loc[out["vec_id"] == 7, "bh"])
+    bh19 = set(out.loc[out["vec_id"] == 19, "bh"])
+    assert bh7 == bh19 and len(bh7) == bands
+    degen = LshBandEmit(planes[:0], 1, 0)(df)
+    assert len(degen) == n and (degen["bh"] == 0).all()
+
+
+def test_near_dup_lsh_fullband_twin_is_exact(ray_session):
+    """The rows_per_band=0 twin routes all rows through ONE bucket of the
+    identical LSH machinery and must equal the exact all-pairs plan."""
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh_fullband,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_embedding_near_dup(sf).reset_index(drop=True)
+    twin = q_embedding_near_dup_lsh_fullband(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, twin)
+
+
+def test_near_dup_lsh_precision_and_recall(ray_session):
+    """LSH near-dup on the real fixture: every emitted pair is a true
+    near-dup with the exact plan's cos_ppm (precision 1.0 — verify is fused
+    into the bucket), and recall at the default (bands=16, r=4) clears the
+    1-(1-s^r)^b analytic floor comfortably (measured 0.94 on this fixture,
+    pinned at ≥0.85 for seed robustness)."""
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_embedding_near_dup(sf)
+    lsh = q_embedding_near_dup_lsh(sf)
+    merged = lsh.merge(
+        exact, on=["id_a", "id_b"], how="left", indicator=True,
+        suffixes=("", "_exact"),
+    )
+    assert (merged["_merge"] == "both").all()  # precision 1.0
+    assert (merged["cos_ppm"] == merged["cos_ppm_exact"]).all()
+    assert len(lsh) / len(exact) >= 0.85

@@ -1655,6 +1655,87 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Dimension of the embeddings table's vectors: one footer + first-page
+    read of the first row's list length (driver-side, O(1) at any corpus
+    size — same cost class as the salt plan's single-footer schema read)."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(table_path(sf_dir, "embeddings"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
+
+
+def _near_dup_lsh(
+    sf_dir: str, threshold: float, bands: int, rows_per_band: int, seed: int = 7
+):
+    """Shared plan for the LSH near-dup pair and its exact fullband twin:
+    seeded hyperplanes → band-bucket emit (``LshBandEmit``) → per-bucket
+    fused enumerate+verify (``lsh_bucket_pairs``) → grouped-MAX pair dedup
+    (pairs sharing several bands carry identical cos_ppm)."""
+    from ..stages.ann import LshBandEmit, lsh_bucket_pairs
+
+    dim = _embedding_dim(sf_dir)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * rows_per_band, dim))
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = thresholded_stage(
+        ds,
+        LshBandEmit,
+        {"planes": planes, "bands": bands, "rows_per_band": rows_per_band},
+        payload_nbytes=planes.nbytes,
+        concurrency=(1, 4),
+        batch_format="pandas",
+    )
+    pairs = cand.groupby("bh").map_groups(
+        lsh_bucket_pairs(threshold), batch_format="pandas"
+    )
+    out = combiner_groupby(
+        pairs, ["id_a", "id_b"], maxs={"cos_ppm": "cos_ppm"}
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@q("embedding_near_dup_lsh")
+def q_embedding_near_dup_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    bands: int = 16,
+    rows_per_band: int = 4,
+):
+    """Random-hyperplane LSH near-duplicate pairs — the SUB-QUADRATIC scale
+    path for embedding-cosine near-dup (the brief's 'embedding-cosine
+    near-dup' LSH variant; exact all-pairs plan = ``embedding_near_dup``).
+    Candidate pairs are rows agreeing on all ``rows_per_band`` sign bits of
+    ≥1 of ``bands`` bands; each bucket verifies exact cosine inline, so
+    PRECISION is 1.0 by construction and only recall is probabilistic
+    (1-(1-s^r)^b, s = 1-θ/π — Charikar STOC'02). Deterministic given the
+    seed; no SQL oracle (the candidate set is not SQL-expressible), so the
+    driver records the rows-only check and pytest pins precision=1 +
+    recall≥bound against the exact plan on the fixture."""
+    return _near_dup_lsh(sf_dir, threshold, bands, rows_per_band)
+
+
+@q("embedding_near_dup_lsh_fullband", NEAR_DUP_ORACLE_SQL)
+def q_embedding_near_dup_lsh_fullband(sf_dir: str, threshold: float = 0.4):
+    """Exact twin of ``embedding_near_dup_lsh`` through the IDENTICAL
+    machinery (same emit stage, bucket reducer, grouped-MAX dedup tail) with
+    ``rows_per_band=0`` degenerating the banding to one global bucket =
+    all-pairs — so the SQL near-dup oracle hash-checks the whole LSH code
+    path, mirroring the ``ann_ivf_*_fullprobe`` twin pattern."""
+    return _near_dup_lsh(sf_dir, threshold, bands=1, rows_per_band=0)
+
+
 def _ivf_topk(
     sf_dir: str, k: int, n_queries: int, n_clusters: int, nprobe: int
 ):

@@ -360,3 +360,91 @@ def load_ivf_layout(out_dir: str):
     if not (os.path.exists(m) and os.path.exists(c)):
         return None
     return np.load(c), pq.read_table(m).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-duplicate candidates — the sub-quadratic scale
+# path for embedding-cosine near-dup (the exact all-pairs plan above is
+# O(n²/G) per group; LSH banding makes candidate generation O(n·bands) with
+# per-bucket all-pairs verify, the SimHash/MinHash analogue for vectors).
+# Charikar, STOC'02 (SimHash): P[sign(h·a) == sign(h·b)] = 1 - θ(a,b)/π.
+# ---------------------------------------------------------------------------
+
+
+class LshBandEmit:
+    """map_batches stage: signs against ``bands × rows_per_band`` seeded
+    random hyperplanes, packs each band's ``rows_per_band`` sign bits into a
+    band-bucket key ``bh`` (band index in the high bits), and replicates the
+    row once per band. A pair collides in some bucket iff it agrees on ALL
+    bits of at least one band — the classic banding amplification.
+
+    Scale shape: shuffle volume is bands × data (vs G × data for the exact
+    plan, but bucket groups are tiny: n / 2^rows_per_band expected, not
+    2n/G), and the planes payload is (bands·rows_per_band × dim) float64 —
+    KB-scale, closure-shipped via ``thresholded_stage``. Skew assumption: a
+    bucket holds one near-dup cluster's members plus hash collisions; a
+    corpus whose single densest cosine-cluster does not fit one worker needs
+    rows_per_band raised (finer buckets), exactly like salting a hot key.
+
+    ``rows_per_band == 0`` degenerates to ONE global bucket (``bh = 0``,
+    single replica): machinery-identical all-pairs, used by the
+    ``*_fullband`` exact twin the SQL oracle checks."""
+
+    def __init__(self, planes, bands: int, rows_per_band: int):
+        self.planes = np.asarray(planes, dtype=np.float64)
+        self.bands = int(bands)
+        self.r = int(rows_per_band)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            out = batch.copy()
+            out["bh"] = pd.Series([], dtype="int64")
+            return out
+        if self.r == 0:
+            out = batch.copy()
+            out["bh"] = np.zeros(n, dtype=np.int64)
+            return out
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        bits = (emb @ self.planes.T) >= 0.0  # n × (bands·r)
+        weights = (np.int64(1) << np.arange(self.r, dtype=np.int64))
+        codes = bits.reshape(n, self.bands, self.r).astype(np.int64) @ weights
+        bh = (np.arange(self.bands, dtype=np.int64) << np.int64(self.r)) + codes
+        rep = batch.iloc[np.repeat(np.arange(n), self.bands)].reset_index(drop=True)
+        rep["bh"] = bh.reshape(-1)
+        return rep
+
+
+def lsh_bucket_pairs(threshold: float, scale: float = 1e6):
+    """map_groups reducer for one LSH bucket: exact cosine all-pairs within
+    the bucket, emitting (id_a, id_b, cos_ppm) for cos ≥ threshold — the
+    verify step fused into candidate enumeration, so false positives never
+    leave the bucket. A pair sharing several bands is emitted once per
+    shared bucket with an IDENTICAL cos_ppm (same floats, same kernel);
+    the caller dedups with a grouped MAX."""
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["vec_id"])
+        if len(g) < 2:
+            return _pair_ppm_empty()
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = _normalize(
+            np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        )
+        sims = emb @ emb.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ai) == 0:
+            return _pair_ppm_empty()
+        c = sims[ai, bi]
+        ppm = (np.sign(c * scale) * np.floor(np.abs(c * scale) + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai].astype(np.int64),
+                "id_b": ids[bi].astype(np.int64),
+                "cos_ppm": ppm,
+            }
+        )
+
+    return reduce

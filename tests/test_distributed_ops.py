@@ -1122,3 +1122,73 @@ def test_near_dup_lsh_precision_and_recall(ray_session):
     assert (merged["_merge"] == "both").all()  # precision 1.0
     assert (merged["cos_ppm"] == merged["cos_ppm_exact"]).all()
     assert len(lsh) / len(exact) >= 0.85
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 40),
+    bands=st.integers(1, 6),
+    r=st.integers(1, 8),
+    thr=st.floats(0.0, 0.9),
+)
+def test_lsh_pipeline_matches_bruteforce_banding(seed, n, bands, r, thr):
+    """Pure-unit property: LshBandEmit ∘ per-bucket lsh_bucket_pairs ∘
+    grouped-MAX dedup must emit EXACTLY the brute-force pairs that (a) agree
+    on all bits of ≥1 band and (b) have cos ≥ threshold — for any data,
+    banding shape, and threshold. This is the whole LSH semantics with no
+    Ray in the loop (the Ray paths are covered by the twin-parity and
+    fixture recall tests)."""
+    from universal_parquet_exporter_ray.stages.ann import (
+        LshBandEmit,
+        _normalize,
+        lsh_bucket_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    dim = 6
+    mat = rng.normal(0, 1, (n, dim))
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    planes = np.random.default_rng(seed + 1).standard_normal((bands * r, dim))
+
+    emitted = LshBandEmit(planes, bands, r)(df)
+    reducer = lsh_bucket_pairs(thr)
+    parts = [
+        reducer(g.reset_index(drop=True))
+        for _, g in emitted.groupby("bh", sort=False)
+    ]
+    got = pd.concat(parts, ignore_index=True) if parts else None
+    got = (
+        got.groupby(["id_a", "id_b"], as_index=False)["cos_ppm"].max()
+        if got is not None and len(got)
+        else pd.DataFrame(columns=["id_a", "id_b", "cos_ppm"])
+    )
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    # brute force: same-band collision mask ∧ cosine threshold
+    emb = _normalize(mat)
+    bits = (emb @ planes.T) >= 0.0
+    codes = bits.reshape(n, bands, r)
+    sims = emb @ emb.T
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            share = any(
+                (codes[i, b] == codes[j, b]).all() for b in range(bands)
+            )
+            if share and sims[i, j] >= thr:
+                a, b2 = sorted((ids[i], ids[j]))
+                c = sims[i, j] if ids[i] < ids[j] else sims[j, i]
+                ppm = int(np.sign(c * 1e6) * np.floor(abs(c * 1e6) + 0.5))
+                rows.append((a, b2, ppm))
+    want = (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "cos_ppm"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    if len(want):
+        assert (got["id_a"].to_numpy() == want["id_a"].to_numpy()).all()
+        assert (got["id_b"].to_numpy() == want["id_b"].to_numpy()).all()
+        assert (got["cos_ppm"].to_numpy() == want["cos_ppm"].to_numpy()).all()

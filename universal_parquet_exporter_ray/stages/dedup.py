@@ -1125,14 +1125,16 @@ class ClusterBestPartial:
     with the same rule (sum counts, argmax of argmaxes) is exact — so only
     cluster-sized rows ever reach an exchange, never documents.
 
-    ``cmap`` (doc_id → cluster component minimum, OUTPUT-sized: only docs
-    incident to a verified near-dup edge appear) is passed by value;
-    unmapped docs are their own singleton cluster. The lookup is a
-    vectorized Int64 reindex — no float round-trip, so 2^53+ doc ids stay
-    exact."""
+    The doc_id → cluster map (OUTPUT-sized: only docs incident to a
+    verified near-dup edge appear) is passed by value as two flat int64
+    arrays — no driver-side Python dict is ever built. Unmapped docs are
+    their own singleton cluster. The lookup is a vectorized Int64 reindex
+    — no float round-trip, so 2^53+ doc ids stay exact."""
 
-    def __init__(self, cmap: dict):
-        self.cs = pd.Series(cmap, dtype="Int64")
+    def __init__(self, map_keys, map_vals):
+        keys = np.asarray(map_keys, dtype=np.int64)
+        vals = np.asarray(map_vals, dtype=np.int64)
+        self.cs = pd.Series(vals, index=keys, dtype="Int64")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -429,8 +429,15 @@ def run_scaling() -> dict:
     # level still discards the stolen reps (steal only ever adds time).
     results: dict = {n_lo: None, n_hi: None}
     all_secs: dict = {n_lo: [], n_hi: []}
+    # one single-process fault-cost sample immediately BEFORE each rep: the
+    # end-of-run probes date the window only at its close, and runs DD/DE
+    # showed a churn tenant can poison mid-run reps while both closing
+    # probes read healthy — a per-rep stamp lets the campaign notes
+    # attribute each outlier rep to the window it actually ran in.
+    fault_per_rep: dict = {n_lo: [], n_hi: []}
     for _ in range(reps):
         for ncpu in (n_lo, n_hi):
+            fault_per_rep[ncpu].append(round(_fault_cost_work(None), 1))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only"],
@@ -458,6 +465,8 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         f"sec_all_{n_lo}": all_secs[n_lo],
         f"sec_all_{n_hi}": all_secs[n_hi],
+        f"fault_us_before_rep_{n_lo}": fault_per_rep[n_lo],
+        f"fault_us_before_rep_{n_hi}": fault_per_rep[n_hi],
         "machine_ceiling_pure_c": _machine_scaling_ceiling(n_lo, n_hi),
         **_machine_fault_us(n_lo, n_hi),
         "compression_ratio": results[n_hi]["compression_ratio"],

@@ -1192,3 +1192,155 @@ def test_lsh_pipeline_matches_bruteforce_banding(seed, n, bands, r, thr):
         assert (got["id_a"].to_numpy() == want["id_a"].to_numpy()).all()
         assert (got["id_b"].to_numpy() == want["id_b"].to_numpy()).all()
         assert (got["cos_ppm"].to_numpy() == want["cos_ppm"].to_numpy()).all()
+
+
+# ---- exact-substring (sliding-window) dedup --------------------------------
+
+
+def _brute_substr(docs, w):
+    """Brute-force ExactSubstr semantics: every w-token window occurring
+    >=2 times corpus-wide is removed at all but its (doc, pos)-first
+    occurrence; per-doc spans merge. Returns {doc_id: (n_occ, tokens)}."""
+    occ: dict = {}
+    for did, t in enumerate(docs):
+        toks = t.split()
+        for i in range(len(toks) - w + 1):
+            occ.setdefault(tuple(toks[i : i + w]), []).append((did, i))
+    rem: dict = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for did, pos in sorted(lst)[1:]:
+                rem.setdefault(did, []).append(pos)
+    out = {}
+    for did, poss in rem.items():
+        poss = sorted(poss)
+        total, start, end = 0, poss[0], poss[0] + w
+        for p in poss[1:]:
+            if p <= end:
+                end = max(end, p + w)
+            else:
+                total += end - start
+                start, end = p, p + w
+        total += end - start
+        out[did] = (len(poss), total)
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+    ),
+    w=st.sampled_from([1, 2, 3]),
+)
+def test_exact_substr_matches_bruteforce(docs, w):
+    """The full broadcast-plan semantics (window emission -> dup table ->
+    filter+span merge) against brute force, any docs/window size — pure
+    pandas, no Ray in the loop."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.stages.dedup import (
+        SubstrFilterStage,
+        emit_token_windows,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    wins = emit_token_windows(df, w)
+    if len(wins):
+        g = (
+            wins.groupby(["h1", "h2"])
+            .agg(c=("packed", "size"), first=("packed", "min"))
+            .reset_index()
+        )
+        dup = g[g["c"] >= 2]
+    else:
+        dup = pd.DataFrame(
+            {
+                "h1": pd.Series([], dtype="int64"),
+                "h2": pd.Series([], dtype="int64"),
+                "first": pd.Series([], dtype="int64"),
+            }
+        )
+    got = SubstrFilterStage(
+        dup["h1"].to_numpy(), dup["h2"].to_numpy(), dup["first"].to_numpy(), w
+    )(df)
+    want = _brute_substr(docs, w)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[int(r.doc_id)] == (int(r.dup_windows), int(r.removed_tokens))
+
+
+def test_exact_substr_both_plans_agree(ray_session):
+    """Broadcast (combiner + second-scan filter) and distributed (coarse
+    hash-bucket groupby + doc-bucket span merge) plans produce identical
+    frames on the real corpus."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        QUERIES["exact_substr_dedup"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["exact_substr_dedup"](sf, force_distributed=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+    assert (a["removed_tokens"] >= a["dup_windows"] * 0 + 1).all()
+
+
+def test_exact_substr_no_duplicates_empty(ray_session, tmp_path):
+    """A corpus with no repeated window keeps every doc untouched: both
+    plans return an EMPTY typed frame (no rows, int64 schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    docs = [
+        " ".join(f"tok{i}_{j}" for j in range(12)) for i in range(6)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    for kw in ({}, {"force_distributed": True}):
+        out = QUERIES["exact_substr_dedup"](str(tmp_path), **kw)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(df) == 0
+        assert list(df.columns) == ["doc_id", "dup_windows", "removed_tokens"]
+        assert all(str(t) == "int64" for t in df.dtypes)
+
+
+def test_exact_substr_distributed_final_preserves_hashes(ray_session):
+    """Regression for the sf0.1 incident: with the combiner's final reduce
+    FORCED distributed (final_cap=0 -> Ray groupby over the hash keys), the
+    dup table must keep exact 64-bit hashes (int64 bit view, never float64)
+    and the result must equal the driver-final plan."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        QUERIES["exact_substr_dedup"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["exact_substr_dedup"](sf, final_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)

@@ -1495,6 +1495,164 @@ def q_segment_dedup(sf_dir: str, seg_tokens: int = 8, n_buckets: int = 32):
     return both.groupby("db").map_groups(rebuild, batch_format="pandas")
 
 
+SUBSTR_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[(i+1):(i+8)], ' ') AS w
+  FROM toks, UNNEST(range(CAST(len(tk) - 8 + 1 AS BIGINT))) AS t(i)
+  WHERE len(tk) >= 8
+), occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY w) AS c,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM wins
+), rem AS (
+  SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(-1 AS BIGINT))
+         THEN 1 ELSE 0 END AS new_isl
+  FROM rem
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, g, count(*) AS n_occ, max(pos) + 8 - min(pos) AS span
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS dup_windows,
+       CAST(sum(span) AS BIGINT) AS removed_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
+@q("exact_substr_dedup", SUBSTR_ORACLE_SQL)
+def q_exact_substr_dedup(
+    sf_dir: str,
+    w: int = 8,
+    force_distributed: bool = False,
+    n_buckets: int = 32,
+    final_cap: int | None = None,
+):
+    """Exact-substring dedup (Lee et al. ACL 2022 "ExactSubstr", the
+    sliding-window complement of the tumbling ``segment_dedup``): every
+    ``w``-token span occurring more than once ANYWHERE in the corpus is a
+    removal at every occurrence except the global (doc_id, pos)-first; a
+    doc's removals merge into maximal spans. Emits per affected doc the
+    removed-occurrence count and merged removed-token total — the dedup
+    ledger a cleaning pass applies to the raw text.
+
+    Two physical plans, size-thresholded like ``verify_pairs``:
+    - **combiner + broadcast** (duplicated-window table under the budget —
+      the common mostly-unique-corpus case): per-batch window partials
+      (only (h1, h2, count, min-packed) rows, never text, reach the
+      exchange) → ``combiner_groupby`` count/min with its own thresholded
+      final → dup table (OUTPUT-sized: corpus-duplicated windows only)
+      broadcast via ``thresholded_stage`` → second corpus scan filters and
+      merges spans in-batch (each doc's windows stay in its batch — no
+      second shuffle).
+    - **distributed** (dup-heavy corpus): one coarse groupby on a window
+      hash bucket finds non-first occurrences, then a doc-bucket groupby
+      merges spans — hashes only on the wire, nothing corpus-sized on the
+      driver (the suffix-array equivalent's unavoidable all-to-all).
+    128-bit window hashes (two independent 64-bit token-polynomial
+    streams) make divergence from the text-equality oracle vanishingly
+    unlikely."""
+    from ..stages.dedup import (
+        SubstrFilterStage,
+        emit_token_windows,
+        merge_removal_spans,
+    )
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    dup_budget = int(os.environ.get("UPXR_SUBSTR_DUP_BUDGET", "2000000"))
+
+    dup = None
+    if not force_distributed:
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            return emit_token_windows(df, w)[["h1", "h2", "packed"]]
+
+        wins = docs.map_batches(emit, batch_format="pandas")
+        cap_kw = {} if final_cap is None else {"final_cap": final_cap}
+        agg = combiner_groupby(
+            wins, ["h1", "h2"], count="c", mins={"packed": "first"}, **cap_kw
+        )
+        if isinstance(agg, pd.DataFrame):
+            dup = agg[agg["c"] >= 2]
+        else:
+            import pyarrow.compute as pc
+
+            dup_ds = agg.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["c"], 2)),
+                batch_format="pyarrow",
+            ).materialize()
+            if dup_ds.count() <= dup_budget:
+                dup = dup_ds.to_pandas()
+            # else: dup table exceeds the broadcast budget (dup-heavy
+            # corpus) — fall through to the distributed plan
+
+    if dup is not None and len(dup) == 0:
+        # nothing duplicated anywhere: typed empty, free on the driver
+        from ..stages.dedup import _EMPTY_SUBSTR
+
+        return _EMPTY_SUBSTR.copy()
+    if dup is not None:
+        payload = int(len(dup) * 24)
+        return thresholded_stage(
+            docs,
+            SubstrFilterStage,
+            {
+                "h1": dup["h1"].to_numpy(np.int64),
+                "h2": dup["h2"].to_numpy(np.int64),
+                "first": dup["first"].to_numpy(np.int64),
+                "w": w,
+            },
+            payload_nbytes=payload,
+            concurrency=(1, 8),
+            batch_format="pandas",
+        )
+
+    def emit_full(df: pd.DataFrame) -> pd.DataFrame:
+        out = emit_token_windows(df, w)
+        # int64 % positive follows the divisor's sign in numpy: in [0, n)
+        out["hb"] = (out["h1"] % n_buckets).astype(np.int64)
+        return out[["hb", "h1", "h2", "packed", "doc_id", "pos"]]
+
+    wins_full = docs.map_batches(emit_full, batch_format="pandas")
+
+    def find_rem(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["h1", "h2"], sort=False)["packed"]
+        c = grp.transform("size")
+        first = grp.transform("min")
+        rem = g.loc[(c >= 2) & (g["packed"] != first), ["doc_id", "pos"]]
+        rem = rem.reset_index(drop=True)
+        rem["db"] = rem["doc_id"].to_numpy(dtype=np.int64) % n_buckets
+        return rem
+
+    # materialize the output-sized removal ledger: the doc-bucket groupby
+    # re-shuffles it anyway, and the count (a free metadata read) guards the
+    # no-dup case — Ray's to_pandas drops the column schema on an all-empty
+    # group stream, so emptiness must resolve to a typed driver frame here
+    removals = wins_full.groupby("hb").map_groups(
+        find_rem, batch_format="pandas"
+    ).materialize()
+    if removals.count() == 0:
+        from ..stages.dedup import _EMPTY_SUBSTR
+
+        return _EMPTY_SUBSTR.copy()
+    return removals.groupby("db").map_groups(
+        lambda g: merge_removal_spans(g[["doc_id", "pos"]], w),
+        batch_format="pandas",
+    )
+
+
 CURATE_ORACLE_SQL = """
 SELECT min(doc_id) AS doc_id
 FROM documents

@@ -139,31 +139,38 @@ def combiner_groupby(
     # makes the row count a free metadata read for the threshold decision
     partials = ds.map_batches(partial, batch_format="pandas").materialize()
 
-    if partials.count() <= final_cap:
+    n_partials = partials.count()
+    if n_partials <= final_cap:
         return finish(partials.to_pandas())
 
-    from ray.data.aggregate import Max, Min, Sum
+    # Distributed final: co-partition the partial rows by a hash of the key
+    # COLUMNS into coarse buckets, then run the SAME vectorized pandas
+    # ``finish`` inside each bucket group.  ``groupby(keys).aggregate(...)``
+    # would be semantically identical but iterates groups in per-row Python
+    # at block boundaries — measured 45.7 s vs 0.16 s on a 248k-row /
+    # 236k-group partial stream (285×), which at corpus-scaling key
+    # cardinality is the difference between a working 100-TB final and a
+    # stalled one.  Bucket count scales with the partial stream so one
+    # bucket group stays worker-heap-sized.
+    import numpy as np
 
-    aggs = [Sum(p, alias_name=p) for p in sum_cols.values()]
-    aggs += [Sum(p, alias_name=p) for p in cnt_cols.values()]
-    aggs += [Min(p, alias_name=p) for p in min_cols.values()]
-    aggs += [Max(p, alias_name=p) for p in max_cols.values()]
-    if count is not None:
-        aggs.append(Sum("__rows", alias_name="__rows"))
-    reduced = partials.groupby(keys).aggregate(*aggs)
+    n_buckets = max(32, n_partials // 1_000_000)
 
-    def finish_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[list(keys)].copy()
-        for c, name in spec.sums.items():
-            out[name] = df[sum_cols[c]]
-        for c, name in spec.means.items():
-            out[name] = df[sum_cols[c]].astype("float64") / df[cnt_cols[c]]
-        for c, name in spec.mins.items():
-            out[name] = df[min_cols[c]]
-        for c, name in spec.maxs.items():
-            out[name] = df[max_cols[c]]
-        if count is not None:
-            out[count] = df["__rows"].astype("int64")
-        return out
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__cb"] = (
+            pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(n_buckets)
+        ).astype("int64")
+        return df
 
-    return reduced.map_batches(finish_batch, batch_format="pandas")
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return finish(g.drop(columns="__cb"))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__cb")
+        .map_groups(finish_bucket, batch_format="pandas")
+    )

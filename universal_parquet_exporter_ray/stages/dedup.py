@@ -1183,3 +1183,164 @@ def merge_keep_best_partials(
             ),
         }
     ).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# exact-substring (sliding-window) dedup — the ExactSubstr family member
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# ACL 2022): any W-token span that occurs more than once ANYWHERE in the
+# corpus is removed from every occurrence except the global first. The
+# suffix-array construction of the paper is replaced by the distributed
+# hash shape: only (h1, h2, packed) window rows — two independent 64-bit
+# token-polynomial hashes (128 bits total, so a cross-window collision is
+# vanishingly unlikely at any corpus size) plus a packed (doc_id, pos)
+# int64 — ever cross the wire, never window text.
+# ----------------------------------------------------------------------
+
+_WKEY_1 = "9f2b4c6d8e0a1357"  # deterministic siphash keys for the two
+_WKEY_2 = "1122deadbeef3344"  # independent per-token hash streams
+_WBASE = np.uint64(1099511628211)
+
+_EMPTY_SUBSTR = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "dup_windows": pd.Series([], dtype="int64"),
+        "removed_tokens": pd.Series([], dtype="int64"),
+    }
+)
+
+_EMPTY_WINDOWS = pd.DataFrame(
+    {
+        "h1": pd.Series([], dtype="int64"),
+        "h2": pd.Series([], dtype="int64"),
+        "packed": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "pos": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def emit_token_windows(
+    df: pd.DataFrame, w: int, text_col: str = "text"
+) -> pd.DataFrame:
+    """All sliding ``w``-token window hashes of a batch of documents,
+    vectorized across the whole batch: tokens of every doc flatten into ONE
+    object array, each per-token hash stream is computed in one
+    ``hash_pandas_object`` call, and the polynomial window combination is
+    ``w`` vectorized multiply-adds — no per-window Python.
+
+    ``packed`` = doc_id * 2^32 + pos (callers guarantee doc_id < 2^31 and
+    doc length < 2^32), so an int64 MIN aggregate picks the lexicographic
+    (doc_id, pos) first occurrence.
+
+    The window hashes ship as the int64 BIT VIEW of the uint64 polynomial
+    values (the standing repo pattern, see ``posting_list_pairs``): a raw
+    uint64 key column degrades to float64 through Ray's distributed
+    groupby final and pandas blocks, which corrupts hashes above 2^53 —
+    the r4 exact_substr sf0.1 incident."""
+    texts = df[text_col]
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    toks = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    n_wins = np.maximum(lens - w + 1, 0)
+    total = int(n_wins.sum())
+    if total == 0:
+        return _EMPTY_WINDOWS.copy()
+    flat = pd.Series(
+        [tok for doc in toks for tok in doc], dtype="object"
+    )
+    h1 = pd.util.hash_pandas_object(
+        flat, index=False, hash_key=_WKEY_1
+    ).to_numpy(np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        flat, index=False, hash_key=_WKEY_2
+    ).to_numpy(np.uint64)
+    # global start index of every window in the flattened token array
+    doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    doc_rep = np.repeat(np.arange(len(toks)), n_wins)
+    win_off = np.concatenate([[0], np.cumsum(n_wins)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(win_off, n_wins)
+    start = doc_off[doc_rep] + pos
+    wh1 = np.zeros(total, dtype=np.uint64)
+    wh2 = np.zeros(total, dtype=np.uint64)
+    for j in range(w):  # w vectorized steps, not per-window Python
+        wh1 = wh1 * _WBASE + h1[start + j]
+        wh2 = wh2 * _WBASE + h2[start + j]
+    did = ids[doc_rep]
+    return pd.DataFrame(
+        {
+            "h1": wh1.view(np.int64),
+            "h2": wh2.view(np.int64),
+            "packed": did * np.int64(1 << 32) + pos,
+            "doc_id": did,
+            "pos": pos,
+        }
+    )
+
+
+def merge_removal_spans(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    """Per-doc merge of removal spans [pos, pos+w): overlapping/adjacent
+    spans coalesce (equal-length spans sorted by pos make the running-max
+    end simply the previous pos + w). Emits one row per doc:
+    (doc_id, dup_windows = removed occurrences, removed_tokens = merged
+    span tokens). Fully vectorized."""
+    if len(df) == 0:
+        return _EMPTY_SUBSTR.copy()
+    df = df.sort_values(["doc_id", "pos"], kind="stable")
+    d = df["doc_id"].to_numpy(dtype=np.int64)
+    p = df["pos"].to_numpy(dtype=np.int64)
+    new_doc = np.empty(len(d), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = d[1:] != d[:-1]
+    gap = np.empty(len(d), dtype=bool)
+    gap[0] = True
+    gap[1:] = p[1:] > p[:-1] + w
+    island = np.cumsum(new_doc | gap) - 1
+    isl = pd.DataFrame({"doc_id": d, "pos": p, "g": island})
+    spans = isl.groupby("g", sort=False).agg(
+        doc_id=("doc_id", "first"),
+        first_pos=("pos", "min"),
+        last_pos=("pos", "max"),
+        n_occ=("pos", "size"),
+    )
+    spans["span"] = spans["last_pos"] + w - spans["first_pos"]
+    out = spans.groupby("doc_id", sort=False).agg(
+        dup_windows=("n_occ", "sum"), removed_tokens=("span", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": out.index.to_numpy(dtype=np.int64),
+            "dup_windows": out["dup_windows"].to_numpy(dtype=np.int64),
+            "removed_tokens": out["removed_tokens"].to_numpy(dtype=np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+class SubstrFilterStage:
+    """Second corpus pass of the broadcast exact-substring plan: regenerate
+    each batch's window hashes, inner-merge against the (output-sized)
+    duplicated-window table, drop each window's global first occurrence,
+    and merge the surviving removal spans per doc — all of a doc's windows
+    are in its own batch, so the span merge needs no shuffle.
+
+    ``dup`` ships as three flat numpy arrays (h1, h2, first_packed) via
+    ``thresholded_stage``: task-closure under the broadcast budget, actor
+    pool by value above it."""
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray, first: np.ndarray, w: int):
+        self.dup = pd.DataFrame(
+            {
+                "h1": np.asarray(h1, dtype=np.int64),
+                "h2": np.asarray(h2, dtype=np.int64),
+                "first": np.asarray(first, dtype=np.int64),
+            }
+        )
+        self.w = w
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        wins = emit_token_windows(df, self.w)
+        if len(wins) == 0:
+            return _EMPTY_SUBSTR.copy()
+        hit = wins.merge(self.dup, on=["h1", "h2"], how="inner")
+        rem = hit[hit["packed"] != hit["first"]]
+        return merge_removal_spans(rem[["doc_id", "pos"]], self.w)

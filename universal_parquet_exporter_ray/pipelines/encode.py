@@ -100,13 +100,22 @@ def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
     import ray
 
     @ray.remote(num_cpus=1)
-    def count_file(path: str) -> "pd.Series":
+    def count_files(paths: list[str]) -> "pd.Series":
         import pyarrow.parquet as pq
 
-        col = pq.read_table(path, columns=[key])[key].to_pandas()
-        return col.astype(str).value_counts()
+        acc = [
+            pq.read_table(p, columns=[key])[key].to_pandas().astype(str).value_counts()
+            for p in paths
+        ]
+        return pd.concat(acc).groupby(level=0, sort=False).sum()
 
-    parts = ray.get([count_file.remote(f) for f in files])
+    # ONE task wave: a file count above the slot count otherwise quantizes
+    # into multiple scheduling waves of ~ms tasks (0.29 s of a 5.4 s 16-CPU
+    # leg on the 40-file fixture was this stage)
+    n_slots = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    n_chunks = min(len(files), n_slots)
+    chunks = [files[i::n_chunks] for i in range(n_chunks)]
+    parts = ray.get([count_files.remote(c) for c in chunks])
     parts = [p for p in parts if len(p)]
     if not parts:
         return {}

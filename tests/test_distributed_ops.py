@@ -1344,3 +1344,39 @@ def test_exact_substr_distributed_final_preserves_hashes(ray_session):
     )
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_combiner_groupby_distributed_final_string_and_null_keys(ray_session):
+    """The bucket-hash distributed final must co-partition string and NULL
+    keys consistently across partial blocks: exactly one output row per
+    (k1, k2) group including the null-key groups, equal to the driver
+    final."""
+    import numpy as np
+
+    import ray
+
+    from universal_parquet_exporter_ray.stages.agg import combiner_groupby
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    k1 = pd.Series(rng.choice(["alpha", "beta", "gamma", None], n))
+    df = pd.DataFrame(
+        {
+            "k1": k1,
+            "k2": rng.integers(0, 5, n).astype("int64"),
+            "v": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    kwargs = dict(sums={"v": "sum_v"}, count="n_rows")
+    small = combiner_groupby(ds, ["k1", "k2"], **kwargs)
+    large = combiner_groupby(ds, ["k1", "k2"], final_cap=0, **kwargs).to_pandas()
+
+    canon = lambda d: (
+        d.sort_values(["k1", "k2"], na_position="last")
+        .reset_index(drop=True)[sorted(d.columns)]
+    )
+    pd.testing.assert_frame_equal(canon(small), canon(large), check_dtype=False)
+    # one row per group, nulls included: 4 k1 values x 5 k2 values
+    assert len(large) == 20
+    assert large["k1"].isna().sum() == 5

@@ -1380,3 +1380,57 @@ def test_combiner_groupby_distributed_final_string_and_null_keys(ray_session):
     # one row per group, nulls included: 4 k1 values x 5 k2 values
     assert len(large) == 20
     assert large["k1"].isna().sum() == 5
+
+
+def test_decontaminate_neardup_flags_train_side_only(ray_session, tmp_path):
+    """A training doc (id%10!=0) near-duplicating a benchmark doc (id%10==0)
+    is flagged with its match count; bench docs and train-train near-dups
+    are never flagged; disjoint docs don't appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"q{i}" for i in range(40))
+    docs = {
+        10: base,                      # benchmark member
+        3: base + " tail3",            # train, near-dups the bench doc
+        7: other,                      # train
+        13: other + " tail13",         # train, near-dups ANOTHER TRAIN doc
+        21: " ".join(f"z{i}" for i in range(40)),  # train, unique
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = QUERIES["decontaminate_neardup"](str(tmp_path))
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert df["doc_id"].tolist() == [3]
+    assert df["n_bench_matches"].tolist() == [1]
+    assert 500_000 <= df["max_jac_ppm"].iloc[0] <= 1_000_000
+
+
+def test_decontaminate_neardup_no_matches_empty(ray_session, tmp_path):
+    """No cross-set near-dups: empty result with the output columns intact
+    (exercises combiner_groupby's empty-partial-stream guard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    docs = {i: " ".join(f"u{i}_{j}" for j in range(30)) for i in range(8)}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = QUERIES["decontaminate_neardup"](str(tmp_path))
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(df) == 0
+    assert list(df.columns) == ["doc_id", "n_bench_matches", "max_jac_ppm"]

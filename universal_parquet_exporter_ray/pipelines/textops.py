@@ -197,6 +197,118 @@ def q_minhash_lsh_pairs(sf_dir: str, broadcast_budget: int | None = None):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+DECON_NEARDUP_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT a, b, i, ca.n AS na, cb.n AS nb
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE 2 * i >= ca.n + cb.n - i
+    AND ((a % 10 = 0) <> (b % 10 = 0))
+),
+trainpair AS (
+  SELECT CASE WHEN a % 10 = 0 THEN b ELSE a END AS doc_id,
+         CAST(round(i * 1000000.0 / (na + nb - i)) AS BIGINT) AS jac_ppm
+  FROM qual
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       max(jac_ppm) AS max_jac_ppm
+FROM trainpair GROUP BY doc_id
+"""
+
+
+@q("decontaminate_neardup", DECON_NEARDUP_ORACLE_SQL)
+def q_decontaminate_neardup(
+    sf_dir: str, bench_mod: int = 10, broadcast_budget: int | None = None
+):
+    """Doc-level fuzzy decontamination — the GPT-3-appendix / FineWeb shape:
+    flag every TRAINING document whose word-3-gram Jaccard against any
+    HELD-OUT benchmark document reaches 0.5 (vs `contamination_scan`'s
+    exact-substring probes). The held-out set is carved deterministically
+    (doc_id % ``bench_mod`` == 0 — no external data, same split idea as
+    ``hash_split``). Emits per flagged training doc its benchmark-match
+    count and max Jaccard — the drop ledger plus the audit evidence.
+
+    Plan: the standing minhash machinery end to end — banding (per-worker
+    cached stage) → coarse bucket-partition pair enumeration → a CHEAP
+    cross-set filter on the output-sized candidate list (train-train and
+    bench-bench candidates never reach the exact verify, the expensive
+    stage) → size-thresholded exact-Jaccard verify (broadcast under the
+    pair budget, hash-partitioned join above) → flip each surviving pair
+    to its training side → ``combiner_groupby`` count/max with its
+    thresholded final. Oracle recall argument is inherited verbatim from
+    ``minhash_lsh_pairs``: 16×4 banding recalls every J ≥ 0.5 pair on this
+    corpus, and the verify is exact, so the cross-set subset is exact."""
+    from ..stages.dedup import (
+        MinHashBandStage,
+        add_bucket_part,
+        partition_to_pairs,
+        verify_pairs,
+    )
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        task_stage(MinHashBandStage), batch_format="pandas"
+    ).map_batches(add_bucket_part, batch_format="pandas")
+    pair_rows = bands.groupby("bp").map_groups(
+        partition_to_pairs, batch_format="pandas"
+    )
+
+    def cross_set(df: pd.DataFrame) -> pd.DataFrame:
+        a_bench = (df["doc_a"].to_numpy(np.int64) % bench_mod) == 0
+        b_bench = (df["doc_b"].to_numpy(np.int64) % bench_mod) == 0
+        return df.loc[a_bench != b_bench, ["doc_a", "doc_b"]].reset_index(
+            drop=True
+        )
+
+    cand = pair_rows.map_batches(cross_set, batch_format="pandas")
+    kw = {} if broadcast_budget is None else {"broadcast_budget": broadcast_budget}
+    verified = verify_pairs(docs, cand, **kw)
+
+    def to_train(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import scaled_int
+
+        df = df[2 * df["inter"] >= df["union"]]
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.where(a % bench_mod == 0, b, a),
+                "jac_ppm": scaled_int(
+                    df["inter"].to_numpy(np.float64)
+                    * 1000000.0
+                    / df["union"].to_numpy(np.float64),
+                    1.0,
+                ),
+            }
+        )
+
+    flagged = verified.map_batches(to_train, batch_format="pandas")
+    out = combiner_groupby(
+        flagged,
+        ["doc_id"],
+        count="n_bench_matches",
+        maxs={"jac_ppm": "max_jac_ppm"},
+    )
+    cols = ["doc_id", "n_bench_matches", "max_jac_ppm"]
+    if isinstance(out, pd.DataFrame):
+        return out[cols].reset_index(drop=True)
+    return out.select_columns(cols)
+
+
 _CLUSTERS_ORACLE_SQL = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents

@@ -140,6 +140,18 @@ def combiner_groupby(
     partials = ds.map_batches(partial, batch_format="pandas").materialize()
 
     n_partials = partials.count()
+    if n_partials == 0:
+        # Ray's to_pandas drops the column schema of an all-empty stream;
+        # feed finish a correctly-columned empty frame instead of crashing
+        cols = (
+            list(keys)
+            + list(sum_cols.values())
+            + list(cnt_cols.values())
+            + list(min_cols.values())
+            + list(max_cols.values())
+            + (["__rows"] if count is not None else [])
+        )
+        return finish(pd.DataFrame({c: [] for c in cols}))
     if n_partials <= final_cap:
         return finish(partials.to_pandas())
 

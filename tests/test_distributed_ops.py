@@ -1434,3 +1434,23 @@ def test_decontaminate_neardup_no_matches_empty(ray_session, tmp_path):
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert len(df) == 0
     assert list(df.columns) == ["doc_id", "n_bench_matches", "max_jac_ppm"]
+
+
+def test_quantiles_hist_within_bin_width_of_exact(ray_session):
+    """The histogram-sketch quantiles land within one bin width of the
+    exact rank-machinery quantiles on the real table (the sketch's error
+    bound), and the output is a single typed row."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    approx = QUERIES["quantiles_hist"](sf)
+    exact = QUERIES["quantiles"](sf)
+    assert len(approx) == 1 and len(exact) == 1
+    t = pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    col = t["o_totalprice"].to_numpy()
+    bin_c = (col.max() - col.min()) / 4096 * 100  # one bin width, in cents
+    for p in ("p50_c", "p90_c", "p99_c"):
+        got, want = int(approx[p].iloc[0]), int(exact[p].iloc[0])
+        assert abs(got - want) <= bin_c + 1, (p, got, want, bin_c)

@@ -709,6 +709,81 @@ def q_quantiles(sf_dir: str):
     )
 
 
+QUANTILES_HIST_ORACLE_SQL = """
+WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n FROM orders),
+b AS (
+  SELECT least(CAST(floor((o_totalprice - s.lo) * 4096 / (s.hi - s.lo)) AS BIGINT), 4095) AS bin,
+         count(*) AS c
+  FROM orders, s GROUP BY 1
+),
+cdf AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM b)
+SELECT
+  CAST(round((s.lo + ((SELECT min(bin) FROM cdf WHERE cum >= (s.n - 1) // 2 + 1) + 1) * (s.hi - s.lo) / 4096) * 100) AS BIGINT) AS p50_c,
+  CAST(round((s.lo + ((SELECT min(bin) FROM cdf WHERE cum >= ((s.n - 1) * 9) // 10 + 1) + 1) * (s.hi - s.lo) / 4096) * 100) AS BIGINT) AS p90_c,
+  CAST(round((s.lo + ((SELECT min(bin) FROM cdf WHERE cum >= ((s.n - 1) * 99) // 100 + 1) + 1) * (s.hi - s.lo) / 4096) * 100) AS BIGINT) AS p99_c
+FROM s
+"""
+
+
+@q("quantiles_hist", QUANTILES_HIST_ORACLE_SQL)
+def q_quantiles_hist(sf_dir: str, bins: int = 4096):
+    """APPROXIMATE quantiles via a mergeable equal-width histogram sketch —
+    the one-pass-per-stat scale path next to the exact rank-based
+    ``quantiles``: error is bounded by one bin width ((hi-lo)/4096 ≈ 0.02%
+    of the range) while the plan is two combiner passes with O(bins)
+    driver state, vs the rank machinery's range-partition + offsets. At
+    100 TB this is the operator a monitoring/profiling pass wants: no
+    sort, no shuffle of data rows, partial histograms merge by addition
+    (the classic mergeable-sketch property).
+
+    Deterministic and hash-exact vs the SQL twin: both sides compute
+    ``floor((v - lo) * bins / (hi - lo))`` clipped to the last bin, pick
+    the first bin whose CDF reaches k = floor-div quantile rank, and
+    report the bin's UPPER edge — identical IEEE-double expression trees,
+    integer k arithmetic, shared round-half-away scaling."""
+    ds = load_table(sf_dir, "orders", ["o_totalprice"])
+    from ray.data.aggregate import Count, Max, Min
+
+    s = ds.aggregate(
+        Min("o_totalprice"), Max("o_totalprice"), Count()
+    )
+    lo = float(s["min(o_totalprice)"])
+    hi = float(s["max(o_totalprice)"])
+    n = int(s["count()"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(dtype=np.float64)
+        b = np.floor((v - lo) * bins / (hi - lo)).astype(np.int64)
+        np.minimum(b, bins - 1, out=b)
+        counts = np.bincount(b)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"bin": nz.astype(np.int64), "c": counts[nz].astype(np.int64)}
+        )
+
+    from ..stages.agg import combiner_groupby
+
+    out = combiner_groupby(
+        ds.map_batches(hist, batch_format="pandas"), ["bin"], sums={"c": "c"}
+    )
+    if not isinstance(out, pd.DataFrame):  # bins ≤ 4096 — always driver
+        out = out.to_pandas()
+    hdf = out.sort_values("bin")
+    cum = hdf["c"].to_numpy(dtype=np.int64).cumsum()
+    bin_ids = hdf["bin"].to_numpy(dtype=np.int64)
+    ks = {
+        "p50_c": (n - 1) // 2 + 1,
+        "p90_c": (n - 1) * 9 // 10 + 1,
+        "p99_c": (n - 1) * 99 // 100 + 1,
+    }
+    res = {}
+    for name, k in ks.items():
+        i = int(np.searchsorted(cum, k, side="left"))
+        edge = lo + (int(bin_ids[i]) + 1) * (hi - lo) / bins
+        res[name] = [int(scaled_int(edge, 100.0))]
+    return pd.DataFrame(res)
+
+
 @q(
     "pivot_events",
     "SELECT user_id, "

@@ -101,7 +101,7 @@ _TAIL = [
     "ann_ivf_pruned", "ann_ivf_pruned_fullprobe", "dedup_clusters",
     "dedup_keep_best", "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_fullband", "exact_substr_dedup",
-    "decontaminate_neardup", "quantiles_hist",
+    "decontaminate_neardup", "quantiles_hist", "hll_count_distinct",
 ]
 _COST_ORDER = _TIER1_SURVEY + _TIER2_LLM + _TAIL
 assert len(_TIER1_SURVEY) + len(_TIER2_LLM) == 50, (

@@ -1454,3 +1454,37 @@ def test_quantiles_hist_within_bin_width_of_exact(ray_session):
     for p in ("p50_c", "p90_c", "p99_c"):
         got, want = int(approx[p].iloc[0]), int(exact[p].iloc[0])
         assert abs(got - want) <= bin_c + 1, (p, got, want, bin_c)
+
+
+def test_clz64_matches_bit_length():
+    """Vectorized count-leading-zeros against Python int.bit_length on
+    boundary and random uint64 values."""
+    import numpy as np
+
+    from universal_parquet_exporter_ray.pipelines.relational import _clz64
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [
+            np.array([1, 2, 3, (1 << 63), (1 << 64) - 1, 5, 1 << 32], dtype=np.uint64),
+            rng.integers(1, 1 << 63, 500).astype(np.uint64),
+        ]
+    )
+    got = _clz64(vals)
+    want = np.array([64 - int(v).bit_length() for v in vals], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_hll_count_distinct_accuracy_and_determinism(ray_session):
+    """The HLL estimate lands within 5% (> 3 sigma at p=12) of the exact
+    distinct count on the real table, and is bit-deterministic across
+    runs."""
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        est = QUERIES["hll_count_distinct"](sf)
+        exact = int(QUERIES["global_count_distinct"](sf)["n_custs"].iloc[0])
+        e = int(est["n_custs_est"].iloc[0])
+        assert abs(e - exact) / exact < 0.05, (sf, e, exact)
+        again = int(QUERIES["hll_count_distinct"](sf)["n_custs_est"].iloc[0])
+        assert again == e

@@ -1488,3 +1488,51 @@ def test_hll_count_distinct_accuracy_and_determinism(ray_session):
         assert abs(e - exact) / exact < 0.05, (sf, e, exact)
         again = int(QUERIES["hll_count_distinct"](sf)["n_custs_est"].iloc[0])
         assert again == e
+
+
+def test_kmeans_embeddings_matches_numpy_reference(ray_session):
+    """The distributed Lloyd's k-means (partial-sum combiner + driver fold)
+    produces EXACTLY the same assignments as a single-machine NumPy run of
+    the identical algorithm on the full table, is deterministic across
+    reruns, and uses every cluster on the real corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+    from universal_parquet_exporter_ray.stages.ann import _normalize
+
+    sf = "/root/testdata/sf0.001"
+    k, iters = 8, 5
+    out = (
+        QUERIES["kmeans_embeddings"](sf, k=k, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    tbl = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    emb = _normalize(np.stack(tbl["embedding"].to_numpy()).astype(np.float64))
+    cent = emb[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(emb @ cent.T, axis=1)
+        for j in range(k):
+            m = emb[assign == j]
+            if len(m):
+                s = m.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    cent[j] = s / n
+    want = np.argmax(emb @ cent.T, axis=1)
+
+    assert len(out) == len(tbl)
+    assert (out["cluster_id"].to_numpy() == want).all()
+    assert out["cluster_id"].nunique() == k
+    again = (
+        QUERIES["kmeans_embeddings"](sf, k=k, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (again["cluster_id"].to_numpy() == out["cluster_id"].to_numpy()).all()

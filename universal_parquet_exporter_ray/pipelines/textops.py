@@ -2190,6 +2190,65 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(widen, batch_format="pandas")
 
 
+@q("kmeans_embeddings")  # rows-only: iterative — no SQL expresses Lloyd's
+def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed spherical k-means over the embedding corpus (Lloyd's
+    algorithm) — the clustering pass of SemDeDup-style cluster-based
+    curation and the honest trainer for the IVF coarse quantizer (whose
+    current ``kmeans_fit`` fits a driver-side SAMPLE): per iteration ONE
+    corpus pass emits (k × (dim+1))-sized per-cluster partial sums in long
+    form through ``combiner_groupby``, the driver folds them into the next
+    centroids (KB of state), and the converged centroids label every
+    vector in a final pass. Nothing corpus-sized ever materializes; the
+    per-iteration broadcast is k×dim floats (closure-shipped under the
+    task budget). Deterministic: strided-by-id init (first k vectors via
+    parquet predicate pushdown), fixed iteration count, argmax
+    tie-breaking by lowest cluster id. Accuracy/equality pinned in pytest
+    against a single-machine NumPy reference of the identical algorithm."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.ann import (
+        KMeansAssign,
+        KMeansPartial,
+        _normalize,
+        kmeans_update,
+    )
+
+    seed_tbl = pq_.read_table(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas()
+    seed_tbl = seed_tbl.sort_values("vec_id")
+    cent = _normalize(
+        np.stack(seed_tbl["embedding"].to_numpy()).astype(np.float64)
+    )
+
+    embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    for _ in range(iters):
+        partials = thresholded_stage(
+            embs,
+            KMeansPartial,
+            {"centroids": cent},
+            payload_nbytes=int(cent.nbytes),
+            concurrency=(1, 8),
+            batch_format="pandas",
+        )
+        reduced = combiner_groupby(partials, ["cluster", "dim"], sums={"s": "s"})
+        if not isinstance(reduced, pd.DataFrame):  # ≤ k×(dim+1) rows
+            reduced = reduced.to_pandas()
+        cent = kmeans_update(reduced, cent)
+
+    return thresholded_stage(
+        embs,
+        KMeansAssign,
+        {"centroids": cent},
+        payload_nbytes=int(cent.nbytes),
+        concurrency=(1, 8),
+        batch_format="pandas",
+    )
+
+
 LANG_CENTROIDS_ORACLE_SQL = """
 SELECT d.lang, CAST(r.i AS BIGINT) AS dim,
        CAST(round(avg(e.embedding[r.i + 1]) * 1000000.0) AS BIGINT)

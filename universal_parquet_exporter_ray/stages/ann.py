@@ -448,3 +448,96 @@ def lsh_bucket_pairs(threshold: float, scale: float = 1e6):
         )
 
     return reduce
+
+
+class KMeansPartial:
+    """One Lloyd iteration's distributed half for spherical k-means: assign
+    each batch's (normalized) vectors to the broadcast centroids and emit
+    per-cluster PARTIAL sums in long form — (cluster, dim, s) rows plus a
+    (cluster, -1, count) row per non-empty cluster — so only
+    (k × (dim+1))-sized partials ever reach the exchange. KB ctor payload:
+    ships closure-captured via ``thresholded_stage``."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.cent = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        k, dim = self.cent.shape
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        emb = _normalize(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        )
+        assign = np.argmax(emb @ self.cent.T, axis=1)
+        acc = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(acc, assign, emb)
+        counts = np.bincount(assign, minlength=k)
+        nz = np.nonzero(counts)[0]
+        cl = np.repeat(nz, dim)
+        dm = np.tile(np.arange(dim, dtype=np.int64), len(nz))
+        return pd.DataFrame(
+            {
+                "cluster": np.concatenate([cl, nz]).astype(np.int64),
+                "dim": np.concatenate(
+                    [dm, np.full(len(nz), -1, dtype=np.int64)]
+                ),
+                "s": np.concatenate(
+                    [acc[nz].ravel(), counts[nz].astype(np.float64)]
+                ),
+            }
+        )
+
+
+class KMeansAssign:
+    """Final labeling pass: (vec_id, cluster_id) per vector against the
+    broadcast converged centroids."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.cent = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                }
+            )
+        emb = _normalize(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cluster_id": np.argmax(emb @ self.cent.T, axis=1).astype(
+                    np.int64
+                ),
+            }
+        )
+
+
+def kmeans_update(partials: pd.DataFrame, cent: np.ndarray) -> np.ndarray:
+    """Driver half of one Lloyd iteration: fold the reduced long-form
+    partials into the next spherical centroids (empty clusters keep their
+    previous centroid — the standard convention)."""
+    k, dim = cent.shape
+    new = cent.copy()
+    vec = partials[partials["dim"] >= 0]
+    acc = np.zeros((k, dim), dtype=np.float64)
+    acc[
+        vec["cluster"].to_numpy(np.int64), vec["dim"].to_numpy(np.int64)
+    ] = vec["s"].to_numpy(np.float64)
+    counts = np.zeros(k, dtype=np.float64)
+    cnt = partials[partials["dim"] == -1]
+    counts[cnt["cluster"].to_numpy(np.int64)] = cnt["s"].to_numpy(np.float64)
+    for j in np.nonzero(counts)[0]:
+        n = np.linalg.norm(acc[j])
+        if n > 0:
+            new[j] = acc[j] / n
+    return new

@@ -165,6 +165,7 @@ def run_bench() -> dict:
             "token_count",
             "minhash_lsh_pairs",
             "ann_topk",
+            "exact_substr_dedup",
         ]:
             fn = REL.get(name) or TEXT.get(name)
             t0 = time.perf_counter()

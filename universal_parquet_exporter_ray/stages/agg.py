@@ -28,6 +28,7 @@ value, so the oracle hash comparison is unaffected.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pandas as pd
@@ -152,7 +153,16 @@ def combiner_groupby(
             + (["__rows"] if count is not None else [])
         )
         return finish(pd.DataFrame({c: [] for c in cols}))
-    if n_partials <= final_cap:
+    # The driver final is gated on BYTES as well as rows: driver memory is
+    # the real constraint, and a narrow 300k-row / few-MB partial stream
+    # (hash-keyed dedup partials at bench scale) costs a full sort shuffle
+    # under a rows-only gate while being a ~0.1 s pandas combine.  Both
+    # metadata reads are free on the materialized stream.  final_cap=0
+    # explicitly forces the distributed final (tests, scale rehearsal).
+    bytes_cap = int(os.environ.get("UPXR_FINAL_REDUCE_BYTES", str(64 << 20)))
+    if final_cap and (
+        n_partials <= final_cap or partials.size_bytes() <= bytes_cap
+    ):
         return finish(partials.to_pandas())
 
     # Distributed final: co-partition the partial rows by a hash of the key

@@ -1536,3 +1536,58 @@ def test_kmeans_embeddings_matches_numpy_reference(ray_session):
         .reset_index(drop=True)
     )
     assert (again["cluster_id"].to_numpy() == out["cluster_id"].to_numpy()).all()
+
+
+def test_semdedup_matches_numpy_reference(ray_session):
+    """SemDeDup's distributed plan (kmeans -> cluster co-partition ->
+    greedy in-cluster cosine prune) equals a single-machine NumPy run of
+    the identical algorithm; the kept set is non-trivial both ways (some
+    drop, some survive) at a threshold chosen against the corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+    from universal_parquet_exporter_ray.stages.ann import _normalize
+
+    sf = "/root/testdata/sf0.001"
+    k, iters, thr = 8, 5, 0.4
+    got = (
+        QUERIES["semdedup"](sf, k=k, iters=iters, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    tbl = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    emb = _normalize(np.stack(tbl["embedding"].to_numpy()).astype(np.float64))
+    cent = emb[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(emb @ cent.T, axis=1)
+        for j in range(k):
+            m = emb[assign == j]
+            if len(m):
+                s = m.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    cent[j] = s / n
+    assign = np.argmax(emb @ cent.T, axis=1)
+    ids = tbl["vec_id"].to_numpy(np.int64)
+    kept = {}
+    for c in range(k):
+        member = np.nonzero(assign == c)[0]
+        member = member[np.argsort(ids[member])]
+        sims = emb[member] @ emb[member].T
+        kidx = []
+        for i in range(len(member)):
+            if not kidx or not (sims[i, kidx] > thr).any():
+                kidx.append(i)
+        for i in range(len(member)):
+            kept[int(ids[member[i]])] = i in kidx
+    assert len(got) == len(tbl)
+    assert (got["cluster_id"].to_numpy() == assign[np.argsort(ids)]).all()
+    for r in got.itertuples():
+        assert kept[int(r.vec_id)] == bool(r.kept)
+    n_kept = int(got["kept"].sum())
+    assert 0 < n_kept < len(got)

@@ -2190,6 +2190,40 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(widen, batch_format="pandas")
 
 
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> "np.ndarray":
+    """The distributed Lloyd loop shared by ``kmeans_embeddings`` and
+    ``semdedup``: returns the converged (k × dim) centroid matrix; KB of
+    driver state per iteration (see q_kmeans_embeddings docstring)."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.ann import KMeansPartial, _normalize, kmeans_update
+
+    seed_tbl = pq_.read_table(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas()
+    seed_tbl = seed_tbl.sort_values("vec_id")
+    cent = _normalize(
+        np.stack(seed_tbl["embedding"].to_numpy()).astype(np.float64)
+    )
+    embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    for _ in range(iters):
+        partials = thresholded_stage(
+            embs,
+            KMeansPartial,
+            {"centroids": cent},
+            payload_nbytes=int(cent.nbytes),
+            concurrency=(1, 8),
+            batch_format="pandas",
+        )
+        reduced = combiner_groupby(partials, ["cluster", "dim"], sums={"s": "s"})
+        if not isinstance(reduced, pd.DataFrame):  # ≤ k×(dim+1) rows
+            reduced = reduced.to_pandas()
+        cent = kmeans_update(reduced, cent)
+    return cent
+
+
 @q("kmeans_embeddings")  # rows-only: iterative — no SQL expresses Lloyd's
 def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed spherical k-means over the embedding corpus (Lloyd's
@@ -2205,40 +2239,10 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     parquet predicate pushdown), fixed iteration count, argmax
     tie-breaking by lowest cluster id. Accuracy/equality pinned in pytest
     against a single-machine NumPy reference of the identical algorithm."""
-    import pyarrow.parquet as pq_
+    from ..stages.ann import KMeansAssign
 
-    from ..stages.ann import (
-        KMeansAssign,
-        KMeansPartial,
-        _normalize,
-        kmeans_update,
-    )
-
-    seed_tbl = pq_.read_table(
-        table_path(sf_dir, "embeddings"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", k)],
-    ).to_pandas()
-    seed_tbl = seed_tbl.sort_values("vec_id")
-    cent = _normalize(
-        np.stack(seed_tbl["embedding"].to_numpy()).astype(np.float64)
-    )
-
+    cent = _kmeans_centroids(sf_dir, k, iters)
     embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    for _ in range(iters):
-        partials = thresholded_stage(
-            embs,
-            KMeansPartial,
-            {"centroids": cent},
-            payload_nbytes=int(cent.nbytes),
-            concurrency=(1, 8),
-            batch_format="pandas",
-        )
-        reduced = combiner_groupby(partials, ["cluster", "dim"], sums={"s": "s"})
-        if not isinstance(reduced, pd.DataFrame):  # ≤ k×(dim+1) rows
-            reduced = reduced.to_pandas()
-        cent = kmeans_update(reduced, cent)
-
     return thresholded_stage(
         embs,
         KMeansAssign,
@@ -2246,6 +2250,33 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
         payload_nbytes=int(cent.nbytes),
         concurrency=(1, 8),
         batch_format="pandas",
+    )
+
+
+@q("semdedup")  # rows-only: iterative kmeans upstream — no SQL equivalent
+def q_semdedup(sf_dir: str, k: int = 8, iters: int = 5, threshold: float = 0.8):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means-cluster-local
+    cosine pruning — cluster the embedding corpus (the distributed Lloyd
+    loop above), co-partition vectors BY CLUSTER (the one corpus-sized
+    shuffle; cluster locality IS the algorithm's complexity win: all-pairs
+    only ever runs inside a cluster, n²/k instead of n²), and greedily keep
+    the lowest-id member of every semantic-duplicate group
+    (``stages/ann.py::semdedup_cluster``). Emits the full keep/drop ledger
+    (vec_id, cluster_id, kept). Deterministic end to end; parity against a
+    single-machine NumPy reference of the identical algorithm in pytest."""
+    from ..stages.ann import KMeansAssign, semdedup_cluster
+
+    cent = _kmeans_centroids(sf_dir, k, iters)
+    embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def label_keep_vec(df: pd.DataFrame) -> pd.DataFrame:
+        out = KMeansAssign(cent)(df)
+        out["embedding"] = df["embedding"].to_numpy()
+        return out
+
+    labeled = embs.map_batches(label_keep_vec, batch_format="pandas")
+    return labeled.groupby("cluster_id").map_groups(
+        lambda g: semdedup_cluster(g, threshold), batch_format="pandas"
     )
 
 

@@ -522,6 +522,38 @@ class KMeansAssign:
         )
 
 
+def semdedup_cluster(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """SemDeDup's per-cluster prune (Abbas et al. 2023), deterministic
+    greedy form: scanning the cluster in vec_id order, a vector is DROPPED
+    iff its cosine similarity to some already-KEPT vector exceeds
+    ``threshold`` — so the lowest-id member of every semantic-duplicate
+    group survives. One normalized matmul per cluster; the greedy scan is
+    a Python loop over the (cluster-sized, worker-local) similarity rows —
+    the same partitioning assumption as the LSH buckets: one k-means
+    cluster fits one worker (raise k when it doesn't, exactly like
+    salting a hot key)."""
+    g = g.sort_values("vec_id")
+    ids = g["vec_id"].to_numpy(np.int64)
+    cl = g["cluster_id"].to_numpy(np.int64)
+    emb = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+    sims = emb @ emb.T
+    n = len(ids)
+    kept_mask = np.zeros(n, dtype=bool)
+    kept_idx: list[int] = []
+    for i in range(n):
+        ki = np.array(kept_idx, dtype=np.int64)
+        if len(ki) == 0 or not (sims[i, ki] > threshold).any():
+            kept_mask[i] = True
+            kept_idx.append(i)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster_id": cl,
+            "kept": kept_mask,
+        }
+    )
+
+
 def kmeans_update(partials: pd.DataFrame, cent: np.ndarray) -> np.ndarray:
     """Driver half of one Lloyd iteration: fold the reduced long-form
     partials into the next spherical centroids (empty clusters keep their

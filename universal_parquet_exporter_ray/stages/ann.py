@@ -539,12 +539,13 @@ def semdedup_cluster(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     sims = emb @ emb.T
     n = len(ids)
     kept_mask = np.zeros(n, dtype=bool)
-    kept_idx: list[int] = []
+    ki = np.empty(n, dtype=np.int64)  # preallocated kept-index prefix
+    nk = 0
     for i in range(n):
-        ki = np.array(kept_idx, dtype=np.int64)
-        if len(ki) == 0 or not (sims[i, ki] > threshold).any():
+        if nk == 0 or not (sims[i, ki[:nk]] > threshold).any():
             kept_mask[i] = True
-            kept_idx.append(i)
+            ki[nk] = i
+            nk += 1
     return pd.DataFrame(
         {
             "vec_id": ids,

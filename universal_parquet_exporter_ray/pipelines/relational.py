@@ -750,6 +750,11 @@ def q_quantiles_hist(sf_dir: str, bins: int = 4096):
     lo = float(s["min(o_totalprice)"])
     hi = float(s["max(o_totalprice)"])
     n = int(s["count()"])
+    if hi == lo:
+        # constant column: every quantile IS the value; the bin expression
+        # would be 0/0 (and the SQL twin equally degenerate)
+        v = [int(scaled_int(lo, 100.0))]
+        return pd.DataFrame({"p50_c": v, "p90_c": v, "p99_c": v})
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         v = df["o_totalprice"].to_numpy(dtype=np.float64)

@@ -302,6 +302,14 @@ def q_decontaminate_neardup(
         ["doc_id"],
         count="n_bench_matches",
         maxs={"jac_ppm": "max_jac_ppm"},
+        # a clean corpus legitimately yields an empty flagged stream; the
+        # typed exemplar keeps the empty result int64 (strict-dtype oracle)
+        empty_like=pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64"),
+            }
+        ),
     )
     cols = ["doc_id", "n_bench_matches", "max_jac_ppm"]
     if isinstance(out, pd.DataFrame):
@@ -2209,19 +2217,23 @@ def mg_partial(df: pd.DataFrame, m: int) -> pd.DataFrame:
              "c": pd.Series([], dtype="int64")}
         )
     vc = toks.value_counts()
+    cut = 0
     if len(vc) > m:
         cut = int(vc.iloc[m])
         vc = vc - cut
         vc = vc[vc > 0]
-    kept_sum = int(vc.sum())
     out = pd.DataFrame(
         {"token": vc.index.to_numpy(dtype=object),
          "c": vc.to_numpy(dtype=np.int64)}
     )
-    if total - kept_sum:
+    if cut:
+        # the PER-TOKEN undercount of this summary is at most `cut` (every
+        # count was reduced by exactly cut, then clamped at zero), NOT the
+        # total trimmed mass — riding cut keeps the merged bound at
+        # Σ_batches cut_b ≤ corpus_tokens/(m+1) instead of a vacuous
+        # tail-mass-sized interval
         out = pd.concat(
-            [out, pd.DataFrame({"token": [_MG_DEDUCT],
-                                "c": [total - kept_sum]})],
+            [out, pd.DataFrame({"token": [_MG_DEDUCT], "c": [cut]})],
             ignore_index=True,
         )
     return out
@@ -2233,11 +2245,12 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, m: int = 4096):
     summaries — the bounded-memory scale path next to the exact
     ``top_terms_by_lang``: each batch reduces to ≤ m counter rows no
     matter how adversarial the token distribution, partials merge by
-    plain SUM through the combiner, and the subtracted mass rides along
-    as a sentinel row, so the result reports HONEST bounds
-    (count_lo ≤ true ≤ count_hi with count_hi − count_lo = total
-    deduction ≤ corpus_tokens/m). Every true heavy hitter with frequency
-    > deduction is guaranteed present (the MG guarantee); bound validity
+    plain SUM through the combiner, and each batch's trim threshold — its
+    per-token maximum undercount — rides along as a sentinel row, so the
+    result reports HONEST bounds: count_lo ≤ true ≤ count_hi with
+    count_hi − count_lo = Σ_batches cut_b ≤ corpus_tokens/(m+1). Every
+    true heavy hitter with frequency > that deduction is guaranteed
+    present (the MG guarantee); bound validity
     is layout-independent and pinned in pytest against exact counts.
     Driver check is rows-only by design: the summary's exact values
     (not its bounds) depend on block boundaries."""
@@ -2250,7 +2263,14 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, m: int = 4096):
         # distributed final: per-block top-(k+1) partials are lossless for
         # a top-k of already-final per-token sums; sentinel fetched apart
         def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-            keep = df[df["token"] != _MG_DEDUCT].nlargest(k, "c")
+            # same (c desc, token asc) order as the global head(k) so the
+            # block prune can never drop a tied token the global tie-break
+            # would have kept (plan-equivalence across finals)
+            keep = (
+                df[df["token"] != _MG_DEDUCT]
+                .sort_values(["c", "token"], ascending=[False, True], kind="stable")
+                .head(k)
+            )
             sent = df[df["token"] == _MG_DEDUCT]
             return pd.concat([keep, sent], ignore_index=True)
 
@@ -2320,7 +2340,12 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     task budget). Deterministic: strided-by-id init (first k vectors via
     parquet predicate pushdown), fixed iteration count, argmax
     tie-breaking by lowest cluster id. Accuracy/equality pinned in pytest
-    against a single-machine NumPy reference of the identical algorithm."""
+    against a single-machine NumPy reference of the identical algorithm.
+    Float caveat (shared by every distributed Lloyd's): cross-BLOCK partial
+    sums add in block order, so centroids can differ from a single-machine
+    run by ulps; an assignment flips only if a vector is ulp-equidistant
+    from two centroids — measure-zero on real embeddings, and the oracle
+    check is rows-only, so block layout cannot fail the driver gate."""
     from ..stages.ann import KMeansAssign
 
     cent = _kmeans_centroids(sf_dir, k, iters)

@@ -13,12 +13,16 @@ reduce, mirroring ``joins.thresholded_join``: the partial stream is
 materialized (object-store-light — it is combiner-sized, never
 corpus-sized), its row count read from metadata, and
 
-- below ``final_cap`` rows the final combine runs driver-side in pandas
-  (the common case for low-cardinality keys; a distributed shuffle of a
-  few-KB stream is pure overhead), returning a pandas DataFrame;
-- above it the final combine is Ray's hash groupby over the partials
-  (high-cardinality keys whose group count scales with the corpus),
-  returning a Dataset.
+- below ``final_cap`` rows OR ``UPXR_FINAL_REDUCE_BYTES`` (64 MB default —
+  driver memory is the true constraint) the final combine runs driver-side
+  in pandas, returning a pandas DataFrame; ``final_cap=0`` forces the
+  distributed path (tests, scale rehearsal);
+- above both gates the final combine co-partitions the partials by a hash
+  of the key columns into coarse buckets and runs the same vectorized
+  pandas ``finish`` inside each bucket group (``groupby().map_groups``) —
+  NOT ``groupby().aggregate()``, which iterates groups in per-row Python
+  at block boundaries and measured 285× slower at 236k groups — returning
+  a Dataset.
 
 Float determinism note: partial sums change the summation ORDER, exactly as
 Ray's own block-parallel Sum does; every consumer exports sums through
@@ -114,6 +118,7 @@ def combiner_groupby(
     maxs: Optional[dict[str, str]] = None,
     count: Optional[str] = None,
     final_cap: int = FINAL_REDUCE_CAP,
+    empty_like: Optional[pd.DataFrame] = None,
 ):
     """Grouped SUM / AVG / MIN / MAX / COUNT(*) with per-batch partials and
     a size-thresholded final reduce.
@@ -142,8 +147,6 @@ def combiner_groupby(
 
     n_partials = partials.count()
     if n_partials == 0:
-        # Ray's to_pandas drops the column schema of an all-empty stream;
-        # feed finish a correctly-columned empty frame instead of crashing
         cols = (
             list(keys)
             + list(sum_cols.values())
@@ -152,6 +155,15 @@ def combiner_groupby(
             + list(max_cols.values())
             + (["__rows"] if count is not None else [])
         )
+        # Ray keeps NO dtype evidence for an all-empty stream (schema() is
+        # None and iter_batches yields nothing, both verified), so typed
+        # emptiness must come from the caller: ``empty_like`` is a zero-row
+        # TYPED exemplar of the input batch; running the partial on it
+        # reproduces the exact partial dtypes.  Callers whose input can be
+        # legitimately empty AND whose result feeds a dtype-strict consumer
+        # should pass it; without it the empty result is float64-typed.
+        if empty_like is not None:
+            return finish(partial(empty_like.iloc[0:0]))
         return finish(pd.DataFrame({c: [] for c in cols}))
     # The driver final is gated on BYTES as well as rows: driver memory is
     # the real constraint, and a narrow 300k-row / few-MB partial stream

@@ -475,10 +475,14 @@ class KMeansPartial:
             np.stack(df["embedding"].to_numpy()).astype(np.float64)
         )
         assign = np.argmax(emb @ self.cent.T, axis=1)
-        acc = np.zeros((k, dim), dtype=np.float64)
-        np.add.at(acc, assign, emb)
         counts = np.bincount(assign, minlength=k)
         nz = np.nonzero(counts)[0]
+        acc = np.zeros((k, dim), dtype=np.float64)
+        # per-cluster masked sums: k vectorized reductions — np.add.at's
+        # unbuffered scatter path is 10-30x slower, and this summation
+        # order matches the NumPy reference implementation exactly
+        for j in nz:
+            acc[j] = emb[assign == j].sum(axis=0)
         cl = np.repeat(nz, dim)
         dm = np.tile(np.arange(dim, dtype=np.int64), len(nz))
         return pd.DataFrame(

@@ -1643,3 +1643,39 @@ def test_quantiles_hist_constant_column(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "orders.parquet")
     out = QUERIES["quantiles_hist"](str(tmp_path))
     assert out.iloc[0].tolist() == [4250, 4250, 4250]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=20
+    ),
+    n_splits=st.integers(1, 5),
+    m=st.sampled_from([1, 2, 4]),
+)
+def test_mg_partial_merge_bounds_any_split(docs, n_splits, m):
+    """Misra–Gries merge algebra, pure (no Ray): for ANY split of the corpus
+    into batches and ANY summary size m, summed partials give
+    count_lo ≤ true ≤ count_lo + Σ cuts for EVERY token, and
+    Σ cuts ≤ total_tokens/(m+1)."""
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        _MG_DEDUCT,
+        mg_partial,
+    )
+
+    frames = [
+        pd.DataFrame({"text": docs[i::n_splits]}) for i in range(n_splits)
+    ]
+    parts = pd.concat(
+        [mg_partial(f, m) for f in frames if len(f)], ignore_index=True
+    )
+    merged = parts.groupby("token")["c"].sum()
+    deducted = int(merged.get(_MG_DEDUCT, 0))
+    exact = pd.Series(
+        [t for d in docs for t in d.split()], dtype="object"
+    ).value_counts()
+    total = int(exact.sum())
+    assert deducted <= total // (m + 1) + n_splits  # per-batch floor slack
+    for tok, true in exact.items():
+        lo = int(merged.get(tok, 0))
+        assert lo <= true <= lo + deducted, (tok, lo, true, deducted)

@@ -26,8 +26,16 @@ def tune_for_cluster() -> None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         target = max(8, 2 * cpus)
         ctx = DataContext.get_current()
-        if getattr(ctx, "min_parallelism", 0) and ctx.min_parallelism > target:
-            ctx.min_parallelism = target
+        # read_op_min_num_blocks is the Ray 2.10+ name; touching the old
+        # min_parallelism alias logs a deprecation warning on every job
+        attr = (
+            "read_op_min_num_blocks"
+            if hasattr(type(ctx), "read_op_min_num_blocks")
+            or "read_op_min_num_blocks" in getattr(ctx, "__dict__", {})
+            else "min_parallelism"
+        )
+        if getattr(ctx, attr, 0) and getattr(ctx, attr) > target:
+            setattr(ctx, attr, target)
         if (
             getattr(ctx, "default_hash_shuffle_parallelism", 0)
             and ctx.default_hash_shuffle_parallelism > target

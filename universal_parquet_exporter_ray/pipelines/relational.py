@@ -709,6 +709,57 @@ def q_quantiles(sf_dir: str):
     )
 
 
+HOPPING_ORACLE_SQL = """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 900000000 - t.j) * 900000000)
+         AS window_start,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_dm,
+       count(*) AS n
+FROM events, UNNEST(range(4)) AS t(j)
+GROUP BY 1, 2
+"""
+
+
+@q("hopping_window", HOPPING_ORACLE_SQL)
+def q_hopping_window(sf_dir: str):
+    """§2.9 streaming-shaped: HOPPING (sliding) window aggregate — 1-hour
+    windows advancing every 15 minutes, the overlapping complement of the
+    tumbling ``window_agg``. Each event replicates into exactly
+    window/hop = 4 window rows (vectorized integer-µs arithmetic on the
+    zero-copy Arrow timestamp — no datetime64[ns] round-trip, so the µs
+    grid matches the SQL twin bit-exactly), then the standard combiner
+    groupby; at scale the exchange carries 4× combiner-sized partials,
+    never 4× the corpus."""
+    ds = load_table(sf_dir, "events", ["event_type", "ts", "value"])
+    hop_us = 900_000_000
+    k = 4
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        base = us // hop_us
+        j = np.tile(np.arange(k, dtype=np.int64), len(us))
+        starts = ((np.repeat(base, k) - j) * hop_us).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)
+                ),
+                "window_start": pa.array(starts),
+                "value": pa.array(np.repeat(t["value"].to_numpy(), k)),
+            }
+        )
+
+    out = combiner_groupby(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        sums={"value": "sum_value"},
+        count="n",
+    )
+    return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
+
+
 QUANTILES_HIST_ORACLE_SQL = """
 WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n FROM orders),
 b AS (

@@ -28,10 +28,11 @@ def tune_for_cluster() -> None:
         ctx = DataContext.get_current()
         # read_op_min_num_blocks is the Ray 2.10+ name; touching the old
         # min_parallelism alias logs a deprecation warning on every job
+        # (accessing the NEW name has no such side effect, so a plain
+        # instance hasattr probe is safe)
         attr = (
             "read_op_min_num_blocks"
-            if hasattr(type(ctx), "read_op_min_num_blocks")
-            or "read_op_min_num_blocks" in getattr(ctx, "__dict__", {})
+            if hasattr(ctx, "read_op_min_num_blocks")
             else "min_parallelism"
         )
         if getattr(ctx, attr, 0) and getattr(ctx, attr) > target:

@@ -735,21 +735,19 @@ def q_hopping_window(sf_dir: str):
     k = 4
 
     def explode(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64()).to_numpy()
+        ts = t["ts"]
+        if ts.null_count:
+            raise ValueError("hopping_window: null ts not supported")
+        # row replication via take keeps every column's Arrow type intact
+        # (empty blocks included) and never round-trips strings through
+        # Python objects
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), k)
+        rep = t.select(["event_type", "value"]).take(pa.array(idx))
+        us = ts.cast(pa.int64()).to_numpy() if len(t) else np.empty(0, np.int64)
         base = us // hop_us
         j = np.tile(np.arange(k, dtype=np.int64), len(us))
-        starts = ((np.repeat(base, k) - j) * hop_us).astype(
-            "datetime64[us]"
-        )
-        return pa.table(
-            {
-                "event_type": pa.array(
-                    np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)
-                ),
-                "window_start": pa.array(starts),
-                "value": pa.array(np.repeat(t["value"].to_numpy(), k)),
-            }
-        )
+        starts = ((np.repeat(base, k) - j) * hop_us).astype("datetime64[us]")
+        return rep.append_column("window_start", pa.array(starts))
 
     out = combiner_groupby(
         ds.map_batches(explode, batch_format="pyarrow"),

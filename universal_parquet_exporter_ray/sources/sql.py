@@ -17,8 +17,9 @@ Design mapping:
   list-of-dicts (its row-dict normalization, SURVEY §2 M10, is subsumed by
   Arrow columns).
 
-Tested against DuckDB as the DB-API peer (sqlite-compatible layout) — no
-network/database server exists in this environment.
+Tested against TWO live DB-API peers with different cursor/connection
+semantics — DuckDB and stdlib sqlite3 — since no network database server
+exists in this environment.
 """
 
 from __future__ import annotations
@@ -184,5 +185,26 @@ def duckdb_factory(db_path: str, read_only: bool = True) -> Callable[[], Any]:
         import duckdb
 
         return duckdb.connect(db_path, read_only=read_only)
+
+    return factory
+
+
+def sqlite_factory(db_path: str, read_only: bool = True) -> Callable[[], Any]:
+    """Picklable DB-API connection factory for a stdlib ``sqlite3`` file
+    database — a SECOND live engine with genuinely different connection
+    semantics than DuckDB (URI-mode read-only open that fails on a missing
+    file instead of creating one; per-thread connection checks relaxed for
+    Ray's task threads), proving ``read_sql_query``/``validate_connection``
+    are engine-agnostic the way the reference's driver autodetect is
+    (``sqlserver_connection.py:29-59``)."""
+
+    def factory():
+        import sqlite3
+
+        if read_only:
+            return sqlite3.connect(
+                f"file:{db_path}?mode=ro", uri=True, check_same_thread=False
+            )
+        return sqlite3.connect(db_path, check_same_thread=False)
 
     return factory

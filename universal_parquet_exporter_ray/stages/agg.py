@@ -132,7 +132,9 @@ def combiner_groupby(
     MIN/MAX of an all-null group is null on both.  Null
     keys form a group, as in SQL GROUP BY.  Returns a pandas DataFrame
     (driver final) or a Dataset (distributed final) — both shapes are
-    accepted by the oracle comparison and by ``scale_cols``.
+    accepted by the oracle comparison and by ``scale_cols``.  With
+    ``final_cap=0`` the result is ALWAYS a Dataset, including on empty
+    inputs, so scale rehearsals can rely on the return shape.
     """
     spec = _AggSpec(keys, dict(sums or {}), dict(means or {}),
                     dict(mins or {}), dict(maxs or {}), count)
@@ -162,9 +164,21 @@ def combiner_groupby(
         # reproduces the exact partial dtypes.  Callers whose input can be
         # legitimately empty AND whose result feeds a dtype-strict consumer
         # should pass it; without it the empty result is float64-typed.
-        if empty_like is not None:
-            return finish(partial(empty_like.iloc[0:0]))
-        return finish(pd.DataFrame({c: [] for c in cols}))
+        empty = (
+            finish(partial(empty_like.iloc[0:0]))
+            if empty_like is not None
+            else finish(pd.DataFrame({c: [] for c in cols}))
+        )
+        if final_cap == 0:
+            # final_cap=0 explicitly forces the distributed path, so honor
+            # the documented 'final_cap=0 => Dataset' return-shape contract
+            # on empty inputs too (ADVICE r4); an Arrow block keeps the
+            # zero-row schema where an empty pandas block would lose it
+            import pyarrow as pa
+            import ray.data as rd
+
+            return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+        return empty
     # The driver final is gated on BYTES as well as rows: driver memory is
     # the real constraint, and a narrow 300k-row / few-MB partial stream
     # (hash-keyed dedup partials at bench scale) costs a full sort shuffle

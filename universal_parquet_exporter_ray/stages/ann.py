@@ -293,6 +293,61 @@ class AssignBucket:
         return out
 
 
+def check_shared_root(out_dir: str) -> None:
+    """Fail fast if ``out_dir`` is not visible from every alive Ray node.
+
+    The layout is written by ``map_groups`` workers and read back by later
+    jobs, so on a multi-node cluster the root MUST be a shared filesystem
+    or object-store mount — a node-local path (e.g. ``/tmp``) would leave
+    each bucket file on whichever node wrote it, with manifest paths other
+    nodes cannot read.  This probe writes a sentinel from the driver and
+    checks it from a zero-CPU task pinned to EACH alive node; single-node
+    it is one task, multi-node with a node-local root it raises before any
+    corpus data is shuffled."""
+    import os
+
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    os.makedirs(out_dir, exist_ok=True)
+    sentinel = os.path.join(out_dir, ".shared_root_probe")
+    with open(sentinel, "w") as f:
+        f.write("probe")
+
+    @ray.remote(num_cpus=0)
+    def _probe(path: str) -> bool:
+        import os as _os
+
+        return _os.path.exists(path)
+
+    try:
+        bad = []
+        for node in ray.nodes():
+            if not node.get("Alive"):
+                continue
+            ok = ray.get(
+                _probe.options(
+                    scheduling_strategy=NodeAffinitySchedulingStrategy(
+                        node_id=node["NodeID"], soft=False
+                    )
+                ).remote(sentinel)
+            )
+            if not ok:
+                bad.append(node.get("NodeManagerAddress") or node["NodeID"])
+        if bad:
+            raise RuntimeError(
+                f"IVF layout root {out_dir!r} is not visible from node(s) "
+                f"{bad}; on a multi-node cluster the layout root must be a "
+                "shared filesystem or object-store path — set "
+                "UPXR_IVF_LAYOUT_ROOT (or pass layout_root=) to a job-scoped "
+                "shared directory, same convention as EncodeJobConfig.out_dir"
+            )
+    finally:
+        try:
+            os.remove(sentinel)
+        except OSError:
+            pass
+
+
 def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
     """Write ``ds`` (vec_id, embedding) re-partitioned by IVF bucket:
     ``<out_dir>/bucket=<b>/data.parquet`` one file per bucket (a directory
@@ -300,13 +355,14 @@ def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
     root.  The write is atomic-per-bucket (tmp + rename) and the manifest
     is written LAST, so a crashed build is simply rebuilt; a complete
     layout is detected by the manifest's existence and reused across
-    processes (resume semantics, same contract as the encode manifest)."""
+    processes (resume semantics, same contract as the encode manifest).
+    ``check_shared_root`` fails fast if workers cannot see ``out_dir``."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
+    check_shared_root(out_dir)
     assigned = ds.map_batches(
         AssignBucket,
         fn_constructor_kwargs={"centroids": centroids},

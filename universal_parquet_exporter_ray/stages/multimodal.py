@@ -7,11 +7,19 @@ libraries): ``MediaDecodeStage`` raises ``NotImplementedError`` unless
 feature vector) stands in. Everything Ray-side — schema, binary batch
 handling, actor signature, small batch sizes for wide binary rows, output
 layout — is real and tested.
+
+Each stage also exposes an INJECTION SEAM (VERDICT r4 #5): pass a real
+callable (``decoder=`` / ``resizer=`` / ``demuxer=``) and it replaces the
+fake/stub without any code change — a production deployment hands in
+PIL/torchaudio/ffmpeg wrappers and the Ray-side plumbing is untouched. The
+callable is cloudpickled into the actor constructor once per actor, never
+per batch.
 """
 
 from __future__ import annotations
 
 import hashlib
+from typing import Callable, Optional
 
 import numpy as np
 import pandas as pd
@@ -57,16 +65,29 @@ class MediaDecodeStage:
 
     FEATURE_DIM = 8
 
-    def __init__(self, fake: bool = True):
+    def __init__(
+        self,
+        fake: bool = True,
+        decoder: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    ):
         self.fake = fake
+        # injection seam: a real decoder (payload bytes -> 1-D float
+        # feature vector) drops in here without code changes
+        self.decoder = decoder
         # model-load stand-in: built once per actor
         self._mixer = np.arange(1, self.FEATURE_DIM + 1, dtype=np.float64)
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decoder is not None:
+            out = np.asarray(self.decoder(payload), dtype=np.float64).ravel()
+            if len(out) != self.FEATURE_DIM:  # pad/trim to the stage schema
+                out = np.resize(out, self.FEATURE_DIM)
+            return out
         if not self.fake:
             raise NotImplementedError(
                 "media decoding requires an image/audio library not present "
-                "in this environment; run with fake=True for the plumbing"
+                "in this environment; run with fake=True for the plumbing, "
+                "or inject one via decoder="
             )
         # sha256 (not blake2b): reproducible in the DuckDB oracle, so the
         # multimodal pipeline's fake features get an exact SQL twin
@@ -95,15 +116,25 @@ class MediaResizeStage:
     budget, small batches — exercised with an exact SQL twin. Emits the
     resized payload plus in/out sizes and the resized payload's sha256."""
 
-    def __init__(self, target_bytes: int = 256, fake: bool = True):
+    def __init__(
+        self,
+        target_bytes: int = 256,
+        fake: bool = True,
+        resizer: Optional[Callable[[bytes, int], bytes]] = None,
+    ):
         self.target = int(target_bytes)
         self.fake = fake
+        # injection seam: real resizer (payload, target_bytes) -> payload
+        self.resizer = resizer
 
     def _resize(self, payload: bytes) -> bytes:
+        if self.resizer is not None:
+            return bytes(self.resizer(payload, self.target))
         if not self.fake:
             raise NotImplementedError(
                 "media resizing requires an image library not present in "
-                "this environment; run with fake=True for the plumbing"
+                "this environment; run with fake=True for the plumbing, "
+                "or inject one via resizer="
             )
         return payload[: self.target]
 
@@ -134,16 +165,27 @@ class FrameSampleStage:
     the flat_map shape frame extraction has at scale). Fake = byte
     slicing; a real deployment plugs a demuxer into ``_frames``."""
 
-    def __init__(self, frame_bytes: int = 64, every: int = 4, fake: bool = True):
+    def __init__(
+        self,
+        frame_bytes: int = 64,
+        every: int = 4,
+        fake: bool = True,
+        demuxer: Optional[Callable[[bytes], list]] = None,
+    ):
         self.F = int(frame_bytes)
         self.every = int(every)
         self.fake = fake
+        # injection seam: real demuxer payload -> [(frame_idx, frame_bytes)]
+        self.demuxer = demuxer
 
     def _frames(self, payload: bytes) -> list[tuple[int, bytes]]:
+        if self.demuxer is not None:
+            return [(int(i), bytes(f)) for i, f in self.demuxer(payload)]
         if not self.fake:
             raise NotImplementedError(
                 "frame extraction requires a video library not present in "
-                "this environment; run with fake=True for the plumbing"
+                "this environment; run with fake=True for the plumbing, "
+                "or inject one via demuxer="
             )
         n_frames = len(payload) // self.F
         return [

@@ -335,6 +335,136 @@ def run_encode_only() -> dict:
     return result
 
 
+# --full mode: family assignment for every registry query, so per-family
+# totals make regressions in the 39-query tail (outside both the driver's
+# 50-row window and the default bench) visible round over round (VERDICT r4
+# #7). Unlisted names land in "other".
+_FAMILY_OF = {}
+for _fam, _names in {
+    "scan_filter_project": [
+        "projection", "cast_math", "filter_gt", "filter_eq_notnull",
+        "filter_like", "case_bucket", "datediff", "head_preview",
+        "union_all", "json_extract_agg", "pivot_events",
+    ],
+    "order_limit_rank": [
+        "topk", "limit_offset", "sort_limit", "multi_sort", "shuffle_order",
+        "percent_rank", "rank_partitioned", "rank_global",
+    ],
+    "aggregate": [
+        "global_agg", "group_agg", "count_distinct", "global_count_distinct",
+        "having", "minmax_dates", "quantiles", "cte_share",
+    ],
+    "sketch": ["quantiles_hist", "hll_count_distinct", "heavy_hitters"],
+    "window_stream": [
+        "rolling_window", "lag_gap", "window_agg", "sessionization",
+        "hopping_window", "asof_join",
+    ],
+    "join": [
+        "join_inner", "join_left_coalesce", "semi_distinct", "anti_join",
+        "join_compound", "join_multiway",
+    ],
+    "source_sink_codec": [
+        "sql_ingest", "encode_manifest", "encode_roundtrip",
+        "decimal_roundtrip", "zonemap_pruned_read",
+        "encode_embeddings_roundtrip", "encode_lineitem_roundtrip",
+    ],
+    "dedup": [
+        "distinct_rows", "dedup_exact", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "simhash64", "fingerprint", "segment_dedup",
+        "exact_substr_dedup", "dedup_clusters", "dedup_keep_best",
+        "decontaminate_neardup", "contamination_scan", "semdedup",
+        "embedding_near_dup", "embedding_near_dup_lsh",
+        "embedding_near_dup_lsh_fullband",
+    ],
+    "ann_cluster": [
+        "ann_topk", "ann_ivf_fullprobe", "ann_ivf_topk", "ann_ivf_pruned",
+        "ann_ivf_pruned_fullprobe", "kmeans_embeddings", "lang_centroids",
+    ],
+    "text_analysis": [
+        "token_count", "token_count_bpe", "text_quality", "repetition_ratio",
+        "quality_by_lang", "lang_id", "top_terms_by_lang", "unigram_logprob",
+        "tfidf_keywords", "redact_pii", "sequence_pack", "curate_corpus",
+        "hash_split", "stratified_sample",
+    ],
+    "multimodal": ["multimodal_features", "media_resize", "media_frame_sample"],
+}.items():
+    for _n in _names:
+        _FAMILY_OF[_n] = _fam
+
+
+def run_full() -> dict:
+    """--full: time EVERY registry query at $GRAFT_SF_DIR and aggregate
+    per family. One rep by default (UPXR_FULL_REPS to raise; best-of-N,
+    steal only adds time) — the goal is tail-regression visibility, not a
+    headline number."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def consume(res):
+        import pandas as pd
+
+        if isinstance(res, pd.DataFrame):
+            return len(res)
+        try:
+            return res.count()
+        except AttributeError:
+            return res.num_rows
+
+    reps = max(1, int(os.environ.get("UPXR_FULL_REPS", "1")))
+    timings: dict[str, float] = {}
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            consume(fn(SF_DIR))
+            sec = time.perf_counter() - t0
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+
+    families: dict[str, dict] = {}
+    for name, sec in timings.items():
+        fam = _FAMILY_OF.get(name, "other")
+        d = families.setdefault(fam, {"sec": 0.0, "n": 0})
+        d["sec"] += sec
+        d["n"] += 1
+    for d in families.values():
+        d["sec"] = round(d["sec"], 3)
+
+    result = {
+        "mode": "full_registry",
+        "metric": "full registry wall time (all queries, per-family totals)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "families": dict(
+            sorted(families.items(), key=lambda kv: -kv[1]["sec"])
+        ),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "reps": reps,
+    }
+    ray.shutdown()
+    return result
+
+
 def _zstd_calibration_work(_):
     import time as _t
 
@@ -487,5 +617,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--encode-only" in sys.argv:
         print(json.dumps(run_encode_only()))
+    elif "--full" in sys.argv:
+        print(json.dumps(run_full()))
     else:
         print(json.dumps(run_bench()))

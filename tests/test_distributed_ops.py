@@ -308,6 +308,97 @@ def test_distributed_prefix_sum_exact(ray_session):
     assert (out["k"].to_numpy() == keys[order]).all()
 
 
+def test_watermark_window_flags_late_events(ray_session, tmp_path):
+    """The testdata fixture's event_ids arrive in ts order, so its oracle
+    pass never exercises the LATE branch; this fixture has genuinely
+    out-of-order arrivals. An event arriving after the watermark passed its
+    window end must be excluded from the aggregate but counted late, and
+    the engine must match the DuckDB window-function oracle exactly."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import (
+        QUERIES,
+        WATERMARK_ORACLE_SQL,
+    )
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:10:00",  # id 0: window 00:00, wm=None
+            "2024-01-01 02:30:00",  # id 1: window 02:00 — pushes wm far ahead
+            "2024-01-01 00:20:00",  # id 2: window 00:00; wm 02:30-10min
+                                    #   = 02:20 > 01:00 end -> LATE
+            "2024-01-01 02:45:00",  # id 3: window 02:00; wm 02:20 < 03:00 on time
+            "2024-01-01 02:05:00",  # id 4: window 02:00; wm 02:45-10min
+                                    #   = 02:35 < 03:00 -> on time (in lateness budget)
+        ]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, type=pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "a"]),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], type=pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = QUERIES["watermark_window"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+    assert int(out["n_late"].sum()) == 1  # exactly event 2 is late
+    w0 = out[out["window_start"] == pd.Timestamp("2024-01-01 00:00:00")]
+    assert int(w0["n_on_time"].iloc[0]) == 1  # event 0 only
+    assert int(w0["sum_value_dm"].iloc[0]) == 10000  # late value 4.0 excluded
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    oracle = (
+        con.execute(WATERMARK_ORACLE_SQL)
+        .df()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    cols = ["event_type", "window_start", "n_on_time", "n_late", "sum_value_dm"]
+    pd.testing.assert_frame_equal(out[cols], oracle[cols], check_dtype=False)
+
+
+def test_distributed_prefix_max_exact(ray_session):
+    """Exclusive prefix MAX (the watermark primitive) matches numpy's
+    shifted cummax across many ranges and shuffled block order; the
+    globally-first row is NULL."""
+    import numpy as np
+    import ray.data as rd
+
+    from universal_parquet_exporter_ray.stages.rank import distributed_prefix_max
+
+    rng = np.random.default_rng(13)
+    keys = rng.permutation(2000).astype(np.int64)
+    vals = rng.integers(-1000, 1000, size=2000).astype(np.int64)
+    t = pa.table({"k": keys, "v": vals})
+    ds = rd.from_arrow(t).repartition(13)
+    out = (
+        distributed_prefix_max(ds, "k", "v", "wm", max_splitters=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(keys)
+    cummax = np.maximum.accumulate(vals[order])
+    assert pd.isna(out["wm"].iloc[0])
+    assert (out["wm"].to_numpy()[1:] == cummax[:-1]).all()
+    assert (out["k"].to_numpy() == keys[order]).all()
+
+
 def _make_sql_peer(engine: str, db: str):
     """Create a 100-row table `t` in a fresh file DB and return its
     read-only connection factory — `engine` picks between the two live

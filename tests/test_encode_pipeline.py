@@ -472,3 +472,42 @@ def test_encode_from_dataset_source(ray_session, source_files_path, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dec[df.columns.tolist()], df)
+
+
+def test_plan_key_counts_cached_by_source_fingerprint(ray_session, tmp_path, monkeypatch):
+    """The salt-plan key counts are cached against (path, size, mtime) of
+    the source files: a re-run (resume/retry/bench rep) skips the key-count
+    scan; touching a source file invalidates the cache."""
+    import time
+
+    from universal_parquet_exporter_ray.pipelines.encode import (
+        _plan_cache_path,
+        _plan_key_counts,
+    )
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"repo": ["a", "a", "b"], "path": ["1", "2", "3"]}), src
+    )
+    monkeypatch.setenv("UPXR_PLAN_CACHE_DIR", str(tmp_path / "plancache"))
+
+    r1 = _plan_key_counts([src], "repo")
+    assert r1 == {"a": 2, "b": 1}
+    cache = _plan_cache_path([src], "repo")
+    assert cache is not None and os.path.exists(cache)
+
+    # prove the cache is READ: plant altered counts and observe them served
+    pq.write_table(
+        pa.table({"k": pa.array(["a", "b"]), "n": pa.array([7, 9], pa.int64())}),
+        cache,
+    )
+    assert _plan_key_counts([src], "repo") == {"a": 7, "b": 9}
+
+    # any source change (mtime here) must MISS and recompute the truth
+    time.sleep(0.01)
+    os.utime(src)
+    assert _plan_key_counts([src], "repo") == {"a": 2, "b": 1}
+
+    # kill switch
+    monkeypatch.setenv("UPXR_PLAN_CACHE", "0")
+    assert _plan_cache_path([src], "repo") is None

@@ -84,6 +84,29 @@ def _list_parquet_files(source: str) -> list[str]:
     return [source]
 
 
+def _plan_cache_path(files: list[str], key: str) -> Optional[str]:
+    """Driver-local cache location for the salt-plan key counts, keyed by a
+    fingerprint of (key column, every file's path+size+mtime) — the same
+    staleness convention as the IVF layout cache. The cache is read and
+    written ONLY by the driver (the plan is a driver-side dict), so a
+    node-local default is correct even multi-node; ``UPXR_PLAN_CACHE=0``
+    disables, ``UPXR_PLAN_CACHE_DIR`` relocates (e.g. to shared storage so
+    a re-submitted job on another head node also skips the scan)."""
+    if os.environ.get("UPXR_PLAN_CACHE", "1") in ("0", "false", "no"):
+        return None
+    import hashlib
+
+    h = hashlib.md5(key.encode())
+    try:
+        for f in sorted(files):
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        return None
+    root = os.environ.get("UPXR_PLAN_CACHE_DIR", "/tmp/upxr_plan_cache")
+    return os.path.join(root, h.hexdigest()[:16] + ".parquet")
+
+
 def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
     """Salt-plan key counts via raw per-file Ray tasks.
 
@@ -94,10 +117,25 @@ def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
     returns partials the driver merges vectorized. Stringification matches
     ``AssignPartitions.__call__`` exactly (pandas ``astype(str)``) so the
     plan is byte-identical to the Dataset-path reconstruction verify uses.
+
+    The result is cached against the source fingerprint (``_plan_cache_path``):
+    re-running the same job — a resume after a crash, a retry, the later
+    bench reps — skips the key-count scan entirely, the planning analogue of
+    the manifest's skip-finished-partitions resume. Any source change
+    (size/mtime of any file) misses the cache.
     """
     import pandas as pd
 
     import ray
+
+    cache = _plan_cache_path(files, key)
+    if cache is not None and os.path.exists(cache):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(cache)
+        return dict(
+            zip(t["k"].to_pylist(), (int(n) for n in t["n"].to_pylist()))
+        )
 
     @ray.remote(num_cpus=1)
     def count_files(paths: list[str]) -> "pd.Series":
@@ -117,10 +155,28 @@ def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
     chunks = [files[i::n_chunks] for i in range(n_chunks)]
     parts = ray.get([count_files.remote(c) for c in chunks])
     parts = [p for p in parts if len(p)]
-    if not parts:
-        return {}
-    merged = pd.concat(parts).groupby(level=0, sort=False).sum()
-    return merged.astype(int).to_dict()
+    counts = (
+        pd.concat(parts).groupby(level=0, sort=False).sum().astype(int).to_dict()
+        if parts
+        else {}
+    )
+    if cache is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(list(counts.keys()), type=pa.string()),
+                    "n": pa.array(list(counts.values()), type=pa.int64()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, cache)
+    return counts
 
 
 def make_assigner(

@@ -193,3 +193,91 @@ def distributed_prefix_sum(
         .groupby("_rng")
         .map_groups(scan_group, batch_format="pandas")
     )
+
+
+_NO_PREV = np.iinfo(np.int64).min  # sentinel: no preceding row exists
+
+
+def distributed_prefix_max(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    *,
+    max_splitters: int = 63,
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = exclusive prefix MAX of ``val_col`` (int64) over
+    ``order_col`` ascending — ``MAX(val) OVER (ORDER BY key ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` at scale. This is the streaming WATERMARK
+    primitive: with ``order_col`` = arrival sequence and ``val_col`` = event
+    time, each row sees the high-water event time of everything that arrived
+    before it. Same plan as ``distributed_prefix_sum`` (bounded splitter
+    sample → exact per-range partial MAXES, O(K) driver state → per-range
+    local scan + offset); the globally-first row gets NULL (pandas NA in the
+    nullable Int64 output). ``order_col`` must be unique."""
+    sample = (
+        ds.select_columns([order_col])
+        .map_batches(_sample_stage(order_col), batch_format="pandas")
+        .to_pandas()[order_col]
+        .to_numpy()
+    )
+    qs = np.linspace(0, 1, max_splitters + 2)[1:-1]
+    splitters = np.unique(np.quantile(sample, qs)) if len(sample) else np.array([])
+    n_ranges = len(splitters) + 1
+    sp_ref = ray.put(splitters)
+
+    def range_maxes(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sp_ref)
+        r = np.searchsorted(sp, df[order_col].to_numpy(), side="right")
+        v = df[val_col].to_numpy(dtype=np.int64)
+        maxes = np.full(n_ranges, _NO_PREV, dtype=np.int64)
+        np.maximum.at(maxes, r, v)
+        return pd.DataFrame(
+            {"rng": np.arange(n_ranges, dtype=np.int64), "m": maxes}
+        )
+
+    partials = (
+        ds.select_columns([order_col, val_col])
+        .map_batches(range_maxes, batch_format="pandas")
+        .to_pandas()
+    )
+    totals = (
+        partials.groupby("rng")["m"]
+        .max()
+        .reindex(range(n_ranges), fill_value=_NO_PREV)
+        .to_numpy()
+    )
+    # exclusive running max over the O(K) range maxes: range r's incoming
+    # watermark is the max of every range strictly before it
+    offsets = np.concatenate(
+        [[_NO_PREV], np.maximum.accumulate(totals)[:-1]]
+    ).astype(np.int64)
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sp_ref)
+        df = df.copy()
+        df["_rng"] = np.searchsorted(
+            sp, df[order_col].to_numpy(), side="right"
+        ).astype(np.int64)
+        return df
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        rng = int(g["_rng"].iloc[0])
+        g = g.sort_values(order_col).drop(columns=["_rng"]).copy()
+        v = g[val_col].to_numpy(dtype=np.int64)
+        local = np.concatenate(
+            [[_NO_PREV], np.maximum.accumulate(v)[:-1]]
+        )
+        combined = np.maximum(local, int(off[rng]))
+        out = pd.array(combined, dtype="Int64")
+        out[combined == _NO_PREV] = pd.NA
+        g[out_col] = out
+        return g
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_rng")
+        .map_groups(scan_group, batch_format="pandas")
+    )

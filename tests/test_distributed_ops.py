@@ -187,8 +187,16 @@ def test_verify_pairs_broadcast_and_distributed_agree(ray_session):
             {"doc_a": [1, 3, 1, 1], "doc_b": [2, 4, 5, 2]}
         )
     ).repartition(2)
-    via_broadcast = (
+    # blob plan (default: blob table far under budget on this corpus)
+    via_blob = (
         verify_pairs(docs, cand, broadcast_budget=1_000_000)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # broadcast-pair plan (blob budget forced to 0)
+    via_broadcast = (
+        verify_pairs(docs, cand, broadcast_budget=1_000_000, blob_budget=0)
         .to_pandas()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
@@ -202,6 +210,10 @@ def test_verify_pairs_broadcast_and_distributed_agree(ray_session):
     assert len(via_broadcast) == 3  # (1,2), (1,5), (3,4) — deduped
     pd.testing.assert_frame_equal(
         via_broadcast[["doc_a", "doc_b", "inter", "union"]],
+        via_join[["doc_a", "doc_b", "inter", "union"]],
+    )
+    pd.testing.assert_frame_equal(
+        via_blob[["doc_a", "doc_b", "inter", "union"]],
         via_join[["doc_a", "doc_b", "inter", "union"]],
     )
 

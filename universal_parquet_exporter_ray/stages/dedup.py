@@ -399,6 +399,70 @@ class ShingleBlobStage:
         )
 
 
+def _count_pair_intersections(
+    sh_all: np.ndarray, pair_idx: np.ndarray, n_pairs: int
+) -> np.ndarray:
+    """Per-pair intersection counts from concatenated per-side shingle rows:
+    per-side (pair, shingle) rows are distinct by construction, so after one
+    lexsort a duplicate adjacent (pair, shingle) ⟺ that shingle is on BOTH
+    sides of the pair. Fully vectorized, O(S log S)."""
+    order = np.lexsort((sh_all, pair_idx))
+    p = pair_idx[order]
+    s = sh_all[order]
+    dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+    return np.bincount(p[1:][dup], minlength=n_pairs)
+
+
+class BlobPairJaccard:
+    """(doc_a, doc_b) batch → exact (doc_a, doc_b, inter, union) against a
+    BROADCAST per-doc shingle-blob table (flat int64 array + per-doc
+    offsets) — the fast verify plan when the corpus blob table fits the
+    broadcast budget. The per-pair blob gathers and intersection counts are
+    one vectorized pass per batch (``_grouped_arange`` gather + the shared
+    lexsort kernel); nothing is shuffled and no blob is ever duplicated
+    per pair. Constructor args ship by value once per worker
+    (``thresholded_stage`` semantics)."""
+
+    def __init__(self, doc_ids, flat, starts, counts):
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        self.flat = np.asarray(flat, dtype=np.int64)
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.counts = np.asarray(counts, dtype=np.int64)
+        self.slot = pd.Series(
+            np.arange(len(doc_ids), dtype=np.int64), index=doc_ids
+        )
+
+    def _gather(self, slots: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = self.counts[slots]
+        idx = np.repeat(self.starts[slots], n) + _grouped_arange(n)
+        return self.flat[idx], n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_PAIR_JAC.copy()
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        sa = self.slot.reindex(a)
+        sb = self.slot.reindex(b)
+        if sa.isna().any() or sb.isna().any():
+            raise KeyError("candidate pair references a doc with no blob row")
+        sh_a, na = self._gather(sa.to_numpy(np.int64))
+        sh_b, nb = self._gather(sb.to_numpy(np.int64))
+        n_pairs = len(a)
+        pair_idx = np.concatenate(
+            [
+                np.repeat(np.arange(n_pairs, dtype=np.int64), na),
+                np.repeat(np.arange(n_pairs, dtype=np.int64), nb),
+            ]
+        )
+        inter = _count_pair_intersections(
+            np.concatenate([sh_a, sh_b]), pair_idx, n_pairs
+        )
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "inter": inter, "union": na + nb - inter}
+        )
+
+
 _EMPTY_PAIR_JAC = pd.DataFrame(
     {
         "doc_a": pd.Series([], dtype="int64"),
@@ -413,9 +477,17 @@ def pair_blob_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
     """One coarse pair-partition of (doc_a, doc_b, doc_id, sh, n_sh) rows →
     exact integer (inter, union) per candidate pair. Each pair contributes
     exactly two rows (doc_id == doc_a and doc_id == doc_b, a < b), so after
-    a sort the partition is even/odd-row aligned and only the per-pair
-    ``intersect1d`` loops — one coarse group per partition instead of one
-    Ray group per pair (round-4: replaces the per-pair ``map_groups``)."""
+    a sort the partition is even/odd-row aligned.
+
+    The intersection counts are FULLY vectorized (round-5: replaces the
+    per-pair ``np.intersect1d`` Python loop, which at 600k candidates cost
+    ~4 s of the ngram verify): both sides' blobs concatenate via ONE
+    ``b"".join`` + zero-copy ``frombuffer``, every shingle row gets its
+    pair index by ``np.repeat``, and one lexsort + adjacent-equal scan
+    counts, per pair, the shingles present on BOTH sides (per-side rows are
+    distinct by construction, so a duplicate (pair, shingle) ⟺ an
+    intersection hit). O(S log S) for S = Σ(n_a+n_b) per partition,
+    ~50× faster than the loop on short-doc corpora."""
     g = g.sort_values(["doc_a", "doc_b", "doc_id"], kind="stable").reset_index(
         drop=True
     )
@@ -432,20 +504,22 @@ def pair_blob_partition_jaccard(g: pd.DataFrame) -> pd.DataFrame:
         and np.array_equal(b_rows["doc_id"].to_numpy(), b_rows["doc_b"].to_numpy())
     ):
         raise ValueError("pair partition rows are misaligned")
-    inter = np.fromiter(
-        (
-            np.intersect1d(
-                np.frombuffer(sa, dtype=np.int64),
-                np.frombuffer(sb, dtype=np.int64),
-                assume_unique=True,
-            ).size
-            for sa, sb in zip(a_rows["sh"], b_rows["sh"])
-        ),
-        dtype=np.int64,
-        count=len(a_rows),
-    )
+    n_pairs = len(a_rows)
     na = a_rows["n_sh"].to_numpy(np.int64)
     nb = b_rows["n_sh"].to_numpy(np.int64)
+    sh_a = np.frombuffer(b"".join(a_rows["sh"]), dtype=np.int64)
+    sh_b = np.frombuffer(b"".join(b_rows["sh"]), dtype=np.int64)
+    if len(sh_a) != int(na.sum()) or len(sh_b) != int(nb.sum()):
+        raise ValueError("shingle blob length disagrees with n_sh")
+    pair_idx = np.concatenate(
+        [
+            np.repeat(np.arange(n_pairs, dtype=np.int64), na),
+            np.repeat(np.arange(n_pairs, dtype=np.int64), nb),
+        ]
+    )
+    inter = _count_pair_intersections(
+        np.concatenate([sh_a, sh_b]), pair_idx, n_pairs
+    )
     return pd.DataFrame(
         {
             "doc_a": a_rows["doc_a"].to_numpy(np.int64),
@@ -929,6 +1003,17 @@ def connected_components(edges, max_rounds: int = 64):
 # join, and nothing pair-graph-sized ever reaches the driver.
 BROADCAST_PAIR_BUDGET = 2_000_000
 
+# Corpus blob-table broadcast budget for the fast verify plan: below this
+# many bytes the per-doc shingle blobs ship ONCE to each worker (flat
+# arrays) and pairs verify with zero blob duplication; above it the corpus
+# side stays distributed. 64 MB default — at 100 TB the blob table is
+# corpus-sized and this plan never triggers, by design.
+import os as _os
+
+BLOB_BROADCAST_BUDGET = int(
+    _os.environ.get("UPXR_BLOB_BROADCAST_BUDGET", str(64 << 20))
+)
+
 
 def verify_pairs(
     docs,
@@ -939,23 +1024,30 @@ def verify_pairs(
     text_col: str = "text",
     join_partitions: int = 32,
     concurrency=(1, 8),
+    blob_budget: int = BLOB_BROADCAST_BUDGET,
 ):
     """Exact word-w-gram-Jaccard verification of candidate pairs — the
     shared tail of ``minhash_lsh_pairs`` and ``ngram_jaccard_pairs``.
 
     ``cand_rows`` is a Dataset of (doc_a, doc_b) candidate rows (duplicates
-    allowed, a < b).  Two physical plans, size-thresholded like
+    allowed, a < b).  Three physical plans, size-thresholded like
     ``stages/joins.py::thresholded_join``:
 
-    - **broadcast** (pair count ≤ budget): the deduped membership table
-      ships by value to a ``PairShingleEmit`` actor pool; one corpus scan
-      emits shingle blobs only for candidate docs.
+    - **broadcast-blob** (pair count ≤ budget AND the corpus blob table ≤
+      ``blob_budget`` bytes): the per-doc shingle blobs broadcast ONCE as
+      flat arrays and the pairs stream through ``BlobPairJaccard`` — no
+      per-pair blob duplication, no pq shuffle (round-5: the emit+shuffle
+      plan duplicated each doc's blob per candidate pair, ~80× on the
+      sf0.1 ngram corpus, 4.4 s → 0.9 s).
+    - **broadcast-pair** (pair count ≤ budget, blob table too big): the
+      deduped membership table ships by value to a ``PairShingleEmit``
+      actor pool; one corpus scan emits shingle blobs only for candidate
+      docs, then the coarse pair-partition reducer.
     - **distributed** (over budget): pairs dedup inside coarse hash
       partitions, explode to membership rows, and hash-join against a full
       corpus blob scan — no driver materialization of the pair graph.
 
-    Both plans converge on the same coarse pair-partition reducer.  Returns
-    a Dataset of exact integer (doc_a, doc_b, inter, union)."""
+    Returns a Dataset of exact integer (doc_a, doc_b, inter, union)."""
     import ray.data  # noqa: F401
 
     cand = cand_rows.materialize()
@@ -966,6 +1058,39 @@ def verify_pairs(
             import ray.data as rd
 
             return rd.from_pandas(_EMPTY_PAIR_JAC.copy())
+        from . import task_stage as _task_stage
+        from . import thresholded_stage as _thr
+
+        blobs = docs.map_batches(
+            _task_stage(ShingleBlobStage, w=w, text_col=text_col),
+            batch_format="pandas",
+        ).materialize()
+        if blobs.size_bytes() <= blob_budget:
+            import ray.data as rd
+
+            bdf = blobs.to_pandas()
+            counts = bdf["n_sh"].to_numpy(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            flat = np.frombuffer(b"".join(bdf["sh"]), dtype=np.int64)
+            pairs_ds = rd.from_pandas(pairs.reset_index(drop=True))
+            if len(pairs) > 65536:
+                pairs_ds = pairs_ds.repartition(32)
+            payload = int(
+                flat.nbytes + 3 * counts.nbytes + len(bdf) * 8
+            )
+            return _thr(
+                pairs_ds,
+                BlobPairJaccard,
+                {
+                    "doc_ids": bdf["doc_id"].to_numpy(np.int64),
+                    "flat": flat,
+                    "starts": starts,
+                    "counts": counts,
+                },
+                payload_nbytes=payload,
+                concurrency=concurrency,
+                batch_format="pandas",
+            )
         a = pairs["doc_a"].to_numpy(np.int64)
         b = pairs["doc_b"].to_numpy(np.int64)
         members = pd.DataFrame(

@@ -1214,6 +1214,13 @@ def train_doc_freq(
 
     Returns ``(idf, default_idf, n_docs)``."""
 
+    # The corpus doc count rides the SAME pass as the df partials (round-5:
+    # the separate count_docs Dataset execution was a full second corpus
+    # pass, ~1.4 s of pure executor overhead at sf0.1): each batch appends
+    # one SENTINEL row tok="" (impossible as a \S+ token) carrying its
+    # non-empty-doc count; the sentinel hashes into one tp partition like
+    # any token and its global sum is exact. The min_df cutoff never drops
+    # it (explicit exclusion), and it is peeled off after the final.
     def partial_df(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(r"\S+")
         flat = pd.DataFrame(
@@ -1227,6 +1234,11 @@ def train_doc_freq(
         # distinct (doc, tok) -> one df unit; vocab-bounded after the dedup
         uniq = flat.drop_duplicates()
         grp = uniq.groupby("tok", sort=False).size().reset_index(name="df")
+        n_docs_batch = int((toks.str.len() > 0).sum())
+        grp = pd.concat(
+            [grp, pd.DataFrame({"tok": [""], "df": [n_docs_batch]})],
+            ignore_index=True,
+        )
         grp["tp"] = (
             pd.util.hash_pandas_object(grp["tok"], index=False).to_numpy(np.uint64)
             % np.uint64(P)
@@ -1236,7 +1248,10 @@ def train_doc_freq(
     def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby("tok", sort=False)["df"].sum().reset_index()
         if min_df > 1:
-            tot = tot[tot["df"].to_numpy() >= min_df]
+            keep = (tot["df"].to_numpy() >= min_df) | (
+                tot["tok"].to_numpy() == ""
+            )
+            tot = tot[keep]
         return tot
 
     # document frequency: bounded-vocab after the coarse-partition sum+cutoff
@@ -1251,12 +1266,9 @@ def train_doc_freq(
             {"tok": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
         )
 
-    # corpus doc count (docs with >= 1 token): tiny distributed aggregate
-    def count_docs(df: pd.DataFrame) -> pd.DataFrame:
-        n = int((df["text"].str.findall(r"\S+").str.len() > 0).sum())
-        return pd.DataFrame({"n": [np.int64(n)]})
-
-    n_docs = float(ds.map_batches(count_docs, batch_format="pandas").sum("n"))
+    sentinel = freqs["tok"].to_numpy() == ""
+    n_docs = float(freqs.loc[sentinel, "df"].sum())
+    freqs = freqs[~sentinel]
     idf = pd.Series(
         np.log(n_docs / freqs["df"].to_numpy(np.float64)),
         index=freqs["tok"].to_numpy(),

@@ -361,7 +361,7 @@ for _fam, _names in {
     ],
     "join": [
         "join_inner", "join_left_coalesce", "semi_distinct", "anti_join",
-        "join_compound", "join_multiway",
+        "join_compound", "join_multiway", "range_join",
     ],
     "source_sink_codec": [
         "sql_ingest", "encode_manifest", "encode_roundtrip",

@@ -384,6 +384,75 @@ def test_watermark_window_flags_late_events(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out[cols], oracle[cols], check_dtype=False)
 
 
+def test_range_join_boundaries_and_oracle(ray_session, tmp_path):
+    """Interval-containment join: both interval ends are INCLUSIVE, events
+    route to one bucket only (no double counting across the bucket
+    boundaries an interval spans), and the engine matches the DuckDB
+    non-equi-join oracle exactly on a fixture with boundary-exact events."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import (
+        QUERIES,
+        RANGE_JOIN_ORACLE_SQL,
+    )
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        # user 0's window: [00:30, 02:30] (min ts + 2h)
+        (0, 0, base + pd.Timedelta(minutes=30), 1.0),
+        (1, 0, base + pd.Timedelta(hours=2, minutes=30), 2.0),   # == t1, inclusive
+        (2, 5, base + pd.Timedelta(hours=1, minutes=45), 4.0),   # inside, crosses hour buckets
+        (3, 99, base + pd.Timedelta(hours=2, minutes=31), 8.0),  # 1 min past t1 — out
+        # user 1's window: [10:00, 12:00] — isolated
+        (4, 1, base + pd.Timedelta(hours=10), 16.0),
+        (5, 99, base + pd.Timedelta(hours=11, minutes=59), 32.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows]), type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = QUERIES["range_join"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.sort_values("iv_id").reset_index(drop=True)
+    got = out.set_index("iv_id")
+    # user 0: events 0 (start), 1 (== t1 inclusive), 2 (inside) — not 3
+    assert int(got.loc[0, "n_events"]) == 3
+    assert int(got.loc[0, "sum_value_dm"]) == 70000  # (1+2+4) * 10000
+    # user 1: events 4 and 5
+    assert int(got.loc[1, "n_events"]) == 2
+    assert int(got.loc[1, "sum_value_dm"]) == 480000
+    # user 5's own window [01:45, 03:45] contains events 1, 2, 3
+    assert int(got.loc[5, "n_events"]) == 3
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    oracle = (
+        con.execute(RANGE_JOIN_ORACLE_SQL)
+        .df()
+        .sort_values("iv_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    cols = ["iv_id", "n_events", "sum_value_dm"]
+    pd.testing.assert_frame_equal(out[cols], oracle[cols], check_dtype=False)
+
+
 def test_distributed_prefix_max_exact(ray_session):
     """Exclusive prefix MAX (the watermark primitive) matches numpy's
     shifted cummax across many ranges and shuffled block order; the

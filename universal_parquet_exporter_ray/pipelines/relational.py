@@ -856,6 +856,174 @@ def q_watermark_window(sf_dir: str, lateness_min: int = 10):
     return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
 
 
+RANGE_JOIN_ORACLE_SQL = """
+WITH iv AS (
+  SELECT user_id AS iv_id, min(ts) AS t0, min(ts) + INTERVAL 2 HOUR AS t1
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT iv.iv_id, CAST(count(e.event_id) AS BIGINT) AS n_events,
+       CAST(round(COALESCE(sum(e.value), 0) * 10000) AS BIGINT) AS sum_value_dm
+FROM iv LEFT JOIN events e ON e.ts >= iv.t0 AND e.ts <= iv.t1
+GROUP BY iv.iv_id
+"""
+
+
+@q("range_join", RANGE_JOIN_ORACLE_SQL)
+def q_range_join(sf_dir: str, n_users: int = 20, hours: int = 2):
+    """Distributed RANGE (interval-containment) JOIN — an operator Ray Data
+    lacks natively, and the classic non-equi shape (ts ∈ [t0, t1], NO
+    equality key) that a plain hash join cannot express. The intervals
+    derive deterministically from the corpus itself (each of users 0..n-1:
+    the first ``hours`` hours of their activity — maintenance-window
+    shape), so no external data is involved.
+
+    Plan — time-axis bucketing:
+    - the time axis splits into 1-hour buckets; each INTERVAL replicates to
+      every bucket it overlaps (replication factor = span/width + 1, bounded
+      and known up front);
+    - each EVENT routes to exactly ONE bucket (no replication ⇒ no double
+      counting by construction);
+    - a tagged-union ``groupby(bucket)`` runs vectorized containment per
+      interval inside each group (numpy mask per interval over the group's
+      events — intervals per bucket are the small side by assumption),
+      emitting per-interval COUNT/SUM partials;
+    - ``combiner_groupby`` sums the partials; empty intervals come back via
+      a driver-side left-merge against the (bounded) interval table.
+
+    Partitioning assumption (documented per the custom-operator brief):
+    the interval table is the small side and each interval's span is a
+    small multiple of the bucket width. Long-span outlier intervals
+    replicate proportionally — salt them or widen buckets at scale."""
+    hour_us = 3_600_000_000
+    span = hours * hour_us
+
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": us,
+                "value": t["value"],
+            }
+        )
+
+    ev = ds.map_batches(prep, batch_format="pyarrow")
+
+    # 1. bounded interval table: distributed MIN(ts) per selected user
+    low = ev.map_batches(
+        lambda t: t.filter(pc.less(t["user_id"], n_users)),
+        batch_format="pyarrow",
+    )
+    mins = combiner_groupby(low, ["user_id"], mins={"ts_us": "t0"})
+    if not isinstance(mins, pd.DataFrame):
+        mins = mins.to_pandas()  # ≤ n_users rows by construction
+    iv = pd.DataFrame(
+        {
+            "iv_id": mins["user_id"].to_numpy(np.int64),
+            "t0": mins["t0"].to_numpy(np.int64),
+        }
+    )
+    iv["t1"] = iv["t0"] + span
+
+    # 2. replicate intervals to overlapped buckets (driver-side: the
+    #    interval side is bounded; at scale this is a flat_map stage)
+    b0 = iv["t0"].to_numpy(np.int64) // hour_us
+    b1 = iv["t1"].to_numpy(np.int64) // hour_us
+    n_rep = (b1 - b0 + 1).astype(np.int64)
+    rep = pd.DataFrame(
+        {
+            "bucket": np.repeat(b0, n_rep)
+            + (
+                np.arange(int(n_rep.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(n_rep) - n_rep, n_rep)
+            ),
+            "role": np.int64(1),
+            "iv_id": np.repeat(iv["iv_id"].to_numpy(np.int64), n_rep),
+            "t0": np.repeat(iv["t0"].to_numpy(np.int64), n_rep),
+            "t1": np.repeat(iv["t1"].to_numpy(np.int64), n_rep),
+            "value": np.float64(0.0),
+        }
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        us = t["ts_us"]
+        bucket = pc.divide(us, hour_us)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": bucket,
+                "role": pa.array(np.zeros(n, dtype=np.int64)),
+                "iv_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "t0": us,  # event rows carry ts in t0; t1 unused
+                "t1": us,
+                "value": t["value"],
+            }
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        # arrow block: union requires matching block types with the tagged
+        # event stream
+        ray.data.from_arrow(pa.Table.from_pandas(rep, preserve_index=False))
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        ivs = g[g["role"].to_numpy() == 1]
+        evs = g[g["role"].to_numpy() == 0]
+        if ivs.empty:
+            return pd.DataFrame(
+                {
+                    "iv_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        ts = evs["t0"].to_numpy(np.int64)
+        val = evs["value"].to_numpy(np.float64)
+        out_id, out_n, out_s = [], [], []
+        for iv_id, t0, t1 in zip(
+            ivs["iv_id"].to_numpy(np.int64),
+            ivs["t0"].to_numpy(np.int64),
+            ivs["t1"].to_numpy(np.int64),
+        ):
+            m = (ts >= t0) & (ts <= t1)
+            out_id.append(iv_id)
+            out_n.append(int(m.sum()))
+            out_s.append(float(val[m].sum()))
+        return pd.DataFrame(
+            {
+                "iv_id": np.array(out_id, dtype=np.int64),
+                "n": np.array(out_n, dtype=np.int64),
+                "s": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    partials = both.groupby("bucket").map_groups(match, batch_format="pandas")
+    summed = combiner_groupby(
+        partials,
+        ["iv_id"],
+        sums={"n": "n_events", "s": "sum_value"},
+        empty_like=pd.DataFrame(
+            {
+                "iv_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+            }
+        ),
+    )
+    if not isinstance(summed, pd.DataFrame):
+        summed = summed.to_pandas()  # interval-bounded
+    out = iv[["iv_id"]].merge(summed, on="iv_id", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    out["sum_value_dm"] = scaled_int(
+        out["sum_value"].fillna(0.0).to_numpy(np.float64), 10000.0
+    )
+    return out[["iv_id", "n_events", "sum_value_dm"]].sort_values(
+        "iv_id"
+    ).reset_index(drop=True)
+
+
 QUANTILES_HIST_ORACLE_SQL = """
 WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n FROM orders),
 b AS (

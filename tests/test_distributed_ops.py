@@ -1920,7 +1920,10 @@ def test_kmeans_embeddings_matches_numpy_reference(ray_session):
         for j in range(k):
             m = emb[assign == j]
             if len(m):
-                s = m.sum(axis=0)
+                # mirror the engine's fixed-point partial sums exactly
+                # (per-element round(e * 2^20), int64 sum; the scale
+                # cancels in the spherical normalization)
+                s = np.rint(m * (1 << 20)).astype(np.int64).sum(axis=0).astype(np.float64)
                 n = np.linalg.norm(s)
                 if n > 0:
                     cent[j] = s / n
@@ -1968,7 +1971,8 @@ def test_semdedup_matches_numpy_reference(ray_session):
         for j in range(k):
             m = emb[assign == j]
             if len(m):
-                s = m.sum(axis=0)
+                # fixed-point partial sums, mirroring the engine exactly
+                s = np.rint(m * (1 << 20)).astype(np.int64).sum(axis=0).astype(np.float64)
                 n = np.linalg.norm(s)
                 if n > 0:
                     cent[j] = s / n

@@ -506,13 +506,26 @@ def lsh_bucket_pairs(threshold: float, scale: float = 1e6):
     return reduce
 
 
+# Fixed-point scale for the k-means partial sums (round-5 hardening of the
+# documented float-summation-order caveat): each normalized embedding value
+# quantizes to round(e * 2^20) BEFORE any summation, so every partial and
+# the combiner's final are INT64 sums — associative, batch-boundary- and
+# block-order-independent, i.e. bit-identical centroids on every run of
+# every cluster layout. The spherical update normalizes the sum vector, so
+# the scale cancels exactly; the only numeric effect is the 2^-20 ≈ 1e-6
+# per-element quantization, mirrored by the NumPy reference in the parity
+# test. Overflow headroom: |sum| ≤ n·2^20 ⇒ safe to n ≈ 8.8e12 rows/cluster.
+KMEANS_FP_SCALE = 1 << 20
+
+
 class KMeansPartial:
     """One Lloyd iteration's distributed half for spherical k-means: assign
     each batch's (normalized) vectors to the broadcast centroids and emit
     per-cluster PARTIAL sums in long form — (cluster, dim, s) rows plus a
     (cluster, -1, count) row per non-empty cluster — so only
     (k × (dim+1))-sized partials ever reach the exchange. KB ctor payload:
-    ships closure-captured via ``thresholded_stage``."""
+    ships closure-captured via ``thresholded_stage``. Sums are fixed-point
+    int64 (``KMEANS_FP_SCALE``) — see the scale note above."""
 
     def __init__(self, centroids: np.ndarray):
         self.cent = np.asarray(centroids, dtype=np.float64)
@@ -524,21 +537,22 @@ class KMeansPartial:
                 {
                     "cluster": pd.Series([], dtype="int64"),
                     "dim": pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="float64"),
+                    "s": pd.Series([], dtype="int64"),
                 }
             )
         emb = _normalize(
             np.stack(df["embedding"].to_numpy()).astype(np.float64)
         )
         assign = np.argmax(emb @ self.cent.T, axis=1)
+        eq = np.rint(emb * KMEANS_FP_SCALE).astype(np.int64)
         counts = np.bincount(assign, minlength=k)
         nz = np.nonzero(counts)[0]
-        acc = np.zeros((k, dim), dtype=np.float64)
+        acc = np.zeros((k, dim), dtype=np.int64)
         # per-cluster masked sums: k vectorized reductions — np.add.at's
-        # unbuffered scatter path is 10-30x slower, and this summation
-        # order matches the NumPy reference implementation exactly
+        # unbuffered scatter path is 10-30x slower; int64 summation makes
+        # the order irrelevant (exact associativity)
         for j in nz:
-            acc[j] = emb[assign == j].sum(axis=0)
+            acc[j] = eq[assign == j].sum(axis=0)
         cl = np.repeat(nz, dim)
         dm = np.tile(np.arange(dim, dtype=np.int64), len(nz))
         return pd.DataFrame(
@@ -547,8 +561,8 @@ class KMeansPartial:
                 "dim": np.concatenate(
                     [dm, np.full(len(nz), -1, dtype=np.int64)]
                 ),
-                "s": np.concatenate(
-                    [acc[nz].ravel(), counts[nz].astype(np.float64)]
+                "s": np.concatenate([acc[nz].ravel(), counts[nz]]).astype(
+                    np.int64
                 ),
             }
         )
@@ -618,7 +632,9 @@ def semdedup_cluster(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
 def kmeans_update(partials: pd.DataFrame, cent: np.ndarray) -> np.ndarray:
     """Driver half of one Lloyd iteration: fold the reduced long-form
     partials into the next spherical centroids (empty clusters keep their
-    previous centroid — the standard convention)."""
+    previous centroid — the standard convention). Partials are fixed-point
+    int64 sums; normalization cancels the scale exactly, so the int sums
+    feed the norm directly."""
     k, dim = cent.shape
     new = cent.copy()
     vec = partials[partials["dim"] >= 0]

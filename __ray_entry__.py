@@ -103,7 +103,7 @@ _TAIL = [
     "embedding_near_dup_lsh_fullband", "exact_substr_dedup",
     "decontaminate_neardup", "quantiles_hist", "hll_count_distinct",
     "kmeans_embeddings", "semdedup", "heavy_hitters", "hopping_window",
-    "watermark_window", "range_join",
+    "watermark_window", "range_join", "bloom_decontaminate",
 ]
 _COST_ORDER = _TIER1_SURVEY + _TIER2_LLM + _TAIL
 assert len(_TIER1_SURVEY) + len(_TIER2_LLM) == 50, (

@@ -373,6 +373,7 @@ for _fam, _names in {
         "ngram_jaccard_pairs", "simhash64", "fingerprint", "segment_dedup",
         "exact_substr_dedup", "dedup_clusters", "dedup_keep_best",
         "decontaminate_neardup", "contamination_scan", "semdedup",
+        "bloom_decontaminate",
         "embedding_near_dup", "embedding_near_dup_lsh",
         "embedding_near_dup_lsh_fullband",
     ],

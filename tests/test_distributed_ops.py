@@ -1997,6 +1997,59 @@ def test_semdedup_matches_numpy_reference(ray_session):
     assert 0 < n_kept < len(got)
 
 
+def test_bloom_decontaminate_no_false_negatives(ray_session):
+    """Bloom decontamination on the real corpus: every training doc that
+    ACTUALLY shares a word-3-gram with the bench split is flagged (no false
+    negatives, by Bloom construction), each flagged doc's n_hits upper-
+    bounds its true shared-shingle count, the false-positive doc set is
+    within the standard bound, and the result is deterministic."""
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+    from universal_parquet_exporter_ray.stages.dedup import word_shingle_hashes
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["bloom_decontaminate"](sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    docs = docs[docs["text"].fillna("").str.count(r"\S+") >= 3]
+    ids = docs["doc_id"].to_numpy(np.int64)
+    sets = {
+        int(i): set(word_shingle_hashes(t).tolist())
+        for i, t in zip(ids, docs["text"])
+    }
+    bench_union = set()
+    for i in ids[ids % 10 == 0]:
+        bench_union |= sets[int(i)]
+    exact = {
+        int(i): len(sets[int(i)] & bench_union)
+        for i in ids[ids % 10 != 0]
+        if sets[int(i)] & bench_union
+    }
+
+    flagged = dict(
+        zip(got["doc_id"].to_numpy(np.int64), got["n_hits"].to_numpy(np.int64))
+    )
+    # no false negatives, and n_hits >= true shared-shingle count per doc
+    for d, n_true in exact.items():
+        assert d in flagged, f"contaminated doc {d} not flagged"
+        assert flagged[d] >= n_true
+    # false positives bounded: with n_bits set and k=4 hashes over m=2^20
+    # bits the per-shingle FP rate is tiny at this corpus size — allow a
+    # generous 1% of clean docs before calling it broken
+    n_clean = int((ids % 10 != 0).sum()) - len(exact)
+    n_fp = len(set(flagged) - set(exact))
+    assert n_fp <= max(2, n_clean // 100)
+    # deterministic
+    again = QUERIES["bloom_decontaminate"](sf)
+    if not isinstance(again, pd.DataFrame):
+        again = again.to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
 def test_heavy_hitters_bounds_contain_exact_counts(ray_session):
     """Misra–Gries guarantee on the real corpus: every reported token's
     [count_lo, count_hi] interval contains its exact corpus count, the

@@ -2348,6 +2348,141 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, m: int = 4096):
     ).reset_index(drop=True)
 
 
+# ----------------------------------------------------------------------
+# Bloom-filter decontamination — the probe-scale sketch complement to the
+# exact scans (contamination_scan, decontaminate_neardup)
+# ----------------------------------------------------------------------
+
+_BLOOM_MULTS = (
+    0x9E3779B97F4A7C15,  # odd 64-bit mixers: k derived hashes per shingle
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0xD6E8FEB86659FD93,
+)
+
+
+def _bloom_bits(sh: "np.ndarray", k_hashes: int, log2_m: int) -> "np.ndarray":
+    """(n_shingles, k) bit indices: top ``log2_m`` bits of k odd-multiplier
+    mixes of the shingle hash — deterministic, vectorized, no Python hash."""
+    cols = [
+        ((sh * np.uint64(_BLOOM_MULTS[i])) >> np.uint64(64 - log2_m)).astype(
+            np.int64
+        )
+        for i in range(k_hashes)
+    ]
+    return np.stack(cols, axis=1)
+
+
+@q("bloom_decontaminate")
+def q_bloom_decontaminate(
+    sf_dir: str, bench_mod: int = 10, log2_m: int = 20, k_hashes: int = 4
+):
+    """SKETCH-based decontamination — the probe-scale complement to the
+    exact ``contamination_scan`` / ``decontaminate_neardup``: a MERGEABLE
+    Bloom filter over the held-out benchmark docs' word-3-gram shingles
+    (the real decontamination regime probes 10⁴–10⁶ benchmark n-grams,
+    where a per-probe exact pass stops scaling but a 2^20-bit filter is a
+    128 KB broadcast no matter how many probes feed it).
+
+    Plan: pass 1 folds bench shingles into DISTINCT set-bit indices with
+    the standard token combiner — a bitmap union is a distinct-union, so
+    the exchange carries (bit) rows bounded by m = 2^20, never
+    corpus-sized, and partial bitmaps from any block layout OR together
+    exactly (the same mergeable-sketch algebra as HLL/Misra-Gries). Pass 2
+    broadcasts the packed bitmap (128 KB) and probes every TRAINING doc's
+    shingles vectorized (k=4 derived hashes per shingle, np.bit tests, one
+    bincount per batch); a doc is flagged with the count of its shingles
+    whose k bits are all set.
+
+    Guarantees (pinned in pytest against the exact containment relation):
+    NO false negatives — every training doc sharing a 3-gram with any
+    bench doc is flagged, by Bloom construction; false-positive shingles
+    are bounded by the standard (1 - e^{-kn/m})^k. Rows-only in the driver
+    (a Bloom FP set is not SQL-expressible); deterministic across runs and
+    block layouts. Sub-3-token docs have no shingles and are never flagged
+    (same convention as ``decontaminate_neardup``)."""
+    from ..stages.dedup import batch_word_shingle_sets
+
+    docs = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_bits(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[
+            ((df["doc_id"].to_numpy(np.int64) % bench_mod) == 0)
+            & (df["text"].fillna("").str.count(r"\S+") >= 3)
+        ]
+        if len(sel) == 0:
+            return pd.DataFrame({"bit": pd.Series([], dtype="int64")})
+        sh, _ = batch_word_shingle_sets(list(sel["text"]), 3)
+        bits = np.unique(_bloom_bits(sh, k_hashes, log2_m))
+        return pd.DataFrame({"bit": bits})
+
+    bit_rows = combiner_groupby(
+        docs.map_batches(bench_bits, batch_format="pandas"),
+        ["bit"],
+        count="n_",
+        empty_like=pd.DataFrame({"bit": pd.Series([], dtype="int64")}),
+    )
+    if not isinstance(bit_rows, pd.DataFrame):
+        bit_rows = bit_rows.to_pandas()  # ≤ m rows by construction
+    bitmap = np.zeros(1 << (log2_m - 3), dtype=np.uint8)
+    set_bits = bit_rows["bit"].to_numpy(np.int64)
+    np.bitwise_or.at(bitmap, set_bits >> 3, (1 << (set_bits & 7)).astype(np.uint8))
+
+    class BloomProbe:
+        """Per-batch vectorized probe against the broadcast bitmap."""
+
+        def __init__(self, bits):
+            self.bits = np.asarray(bits, dtype=np.uint8)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            train = df[
+                ((df["doc_id"].to_numpy(np.int64) % bench_mod) != 0)
+                & (df["text"].fillna("").str.count(r"\S+") >= 3)
+            ]
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_hits": pd.Series([], dtype="int64"),
+                }
+            )
+            if len(train) == 0:
+                return empty
+            sh, sizes = batch_word_shingle_sets(list(train["text"]), 3)
+            if sizes.sum() == 0:
+                return empty
+            idx = _bloom_bits(sh, k_hashes, log2_m)
+            hit = np.ones(len(sh), dtype=bool)
+            for i in range(k_hashes):
+                b = idx[:, i]
+                hit &= (self.bits[b >> 3] & (1 << (b & 7)).astype(np.uint8)) != 0
+            doc_of = np.repeat(np.arange(len(train), dtype=np.int64), sizes)
+            n_hits = np.bincount(doc_of[hit], minlength=len(train))
+            flagged = n_hits > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": train["doc_id"].to_numpy(np.int64)[flagged],
+                    "n_hits": n_hits[flagged].astype(np.int64),
+                }
+            )
+
+    out = thresholded_stage(
+        docs,
+        BloomProbe,
+        {"bits": bitmap},
+        payload_nbytes=int(bitmap.nbytes),
+        concurrency=(1, 8),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(out) == 0 and list(out.columns) != ["doc_id", "n_hits"]:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_hits": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> "np.ndarray":
     """The distributed Lloyd loop shared by ``kmeans_embeddings`` and
     ``semdedup``: returns the converged (k × dim) centroid matrix; KB of

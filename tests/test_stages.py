@@ -510,6 +510,45 @@ def test_ivf_bucketed_layout_prunes_reads(ray_session, tmp_path):
     assert again is not None and len(again[1]) == 8
 
 
+def test_ivf_layout_shards_hot_buckets(ray_session, tmp_path, monkeypatch):
+    """A bucket larger than UPXR_IVF_SHARD_ROWS must split into multiple
+    atomic shard files inside its bucket dir (never one giant file), with
+    one manifest row per shard and row counts conserved."""
+    import os
+
+    import ray as _ray
+
+    from universal_parquet_exporter_ray.stages.ann import (
+        _normalize,
+        build_ivf_layout,
+        kmeans_fit,
+        load_ivf_layout,
+    )
+
+    monkeypatch.setenv("UPXR_IVF_SHARD_ROWS", "40")
+    rng = np.random.default_rng(21)
+    centers = _normalize(rng.normal(0, 1, (2, 8)))
+    vecs = np.concatenate([c + rng.normal(0, 0.05, (100, 8)) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = _ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    )
+    cent = kmeans_fit(vecs, 2)
+    out = str(tmp_path / "ivf")
+    manifest = build_ivf_layout(ds, cent, out)
+    # ~100 rows/bucket at 40 rows/shard -> 3 shards per bucket
+    assert manifest.groupby("bucket").size().min() >= 2
+    assert int(manifest["n"].sum()) == len(vecs)
+    assert all(os.path.exists(p) for p in manifest["path"])
+    assert manifest["path"].is_unique
+    loaded = load_ivf_layout(out)
+    assert loaded is not None and len(loaded[1]) == len(manifest)
+    # every shard of a bucket lives in that bucket's directory (pruned
+    # reads stay directory-level)
+    for b, grp in manifest.groupby("bucket"):
+        assert all(f"bucket={b}" in p for p in grp["path"])
+
+
 def test_ivf_layout_root_configurable(ray_session, tmp_path, monkeypatch):
     """The layout root must be caller-suppliable (and env-overridable) so a
     multi-node job points it at a shared filesystem instead of node-local

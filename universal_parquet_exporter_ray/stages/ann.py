@@ -370,20 +370,34 @@ def build_ivf_layout(ds, centroids: np.ndarray, out_dir: str) -> pd.DataFrame:
         concurrency=(1, 4),
     )
 
+    # Hot buckets shard into <= shard_rows-row files instead of one giant
+    # file per bucket ("resumable output: never one giant file"): read
+    # tasks parallelize per shard, and a probe's file list stays
+    # directory-pruned (all shards of a bucket live in its bucket=<b>/
+    # dir). Shard writes stay atomic (tmp + rename) and the manifest —
+    # written LAST — carries one row per (bucket, shard).
+    shard_rows = int(os.environ.get("UPXR_IVF_SHARD_ROWS", "1000000"))
+
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["bucket"].iloc[0])
         bdir = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        path = os.path.join(bdir, "data.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(
-            pa.Table.from_pandas(
-                g.drop(columns=["bucket"]), preserve_index=False
-            ).replace_schema_metadata(None),
-            tmp,
-        )
-        os.replace(tmp, path)
-        return pd.DataFrame({"bucket": [b], "path": [path], "n": [len(g)]})
+        body = g.drop(columns=["bucket"])
+        n_shards = max(1, -(-len(body) // shard_rows))
+        rows = []
+        for si in range(n_shards):
+            part = body.iloc[si * shard_rows : (si + 1) * shard_rows]
+            path = os.path.join(bdir, f"data-{si:05d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part, preserve_index=False
+                ).replace_schema_metadata(None),
+                tmp,
+            )
+            os.replace(tmp, path)
+            rows.append((b, path, len(part)))
+        return pd.DataFrame(rows, columns=["bucket", "path", "n"])
 
     manifest = (
         assigned.groupby("bucket")

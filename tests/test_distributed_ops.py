@@ -1997,6 +1997,50 @@ def test_semdedup_matches_numpy_reference(ray_session):
     assert 0 < n_kept < len(got)
 
 
+def test_mixture_sample_rebalances_shares(ray_session, tmp_path):
+    """Mixture rebalancing semantics on a skewed corpus: a language at 8×
+    the uniform share is downsampled toward the uniform cap, languages at
+    or under the uniform share keep EVERY doc (cap = n_lang ⇒ accept-all),
+    and the selection is deterministic."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+
+    langs = ["en"] * 800 + ["fr"] * 100 + ["de"] * 60 + ["sw"] * 40
+    n = len(langs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array([f"doc {i} text body" for i in range(n)]),
+            "lang": pa.array(langs),
+            "n_chars": pa.array([15] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["mixture_sample"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    shares = out["lang"].value_counts()
+    uniform = n // 4  # 250
+
+    # under-represented languages are untouched (cap == n_lang)
+    assert shares.get("fr", 0) == 100
+    assert shares.get("de", 0) == 60
+    assert shares.get("sw", 0) == 40
+    # the hot language's EXPECTED share is the uniform cap (250 of 800);
+    # the Bernoulli realization concentrates near it
+    assert 175 <= shares.get("en", 0) <= 325
+    # deterministic
+    again = QUERIES["mixture_sample"](str(tmp_path))
+    if not isinstance(again, pd.DataFrame):
+        again = again.to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_bloom_decontaminate_no_false_negatives(ray_session):
     """Bloom decontamination on the real corpus: every training doc that
     ACTUALLY shares a word-3-gram with the bench split is flagged (no false

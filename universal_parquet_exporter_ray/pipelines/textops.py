@@ -914,6 +914,76 @@ def q_hash_split(sf_dir: str):
     return ds.map_batches(tag, batch_format="pandas")
 
 
+MIXTURE_ORACLE_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(count(*) AS BIGINT) AS k
+      FROM c),
+cap AS (SELECT c.lang, least(c.n, t.n_tot // t.k) AS cap, c.n AS n
+        FROM c, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cap ON d.lang = cap.lang
+WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % CAST(cap.n AS UBIGINT)
+      < CAST(cap.cap AS UBIGINT)
+"""
+
+
+@q("mixture_sample", MIXTURE_ORACLE_SQL)
+def q_mixture_sample(sf_dir: str):
+    """Deterministic MIXTURE REBALANCING — the data-mixing step of a
+    training pipeline (cap each over-represented language's EXPECTED share
+    at the uniform share, leave under-represented languages intact), as a
+    per-doc Bernoulli acceptance: doc kept iff
+    ``hash(doc_id) % n_lang < cap_lang`` with ``cap_lang =
+    min(n_lang, n_total / n_languages)``. All-INTEGER acceptance math ⇒ a
+    bit-exact SQL twin (no float threshold edge cases), reproducible
+    across runs/workers/storage order, and one corpus pass with a
+    KB-sized broadcast — no per-group top-k state, which is what
+    distinguishes it from ``stratified_sample``'s exact-k form and makes
+    it the 100-TB mixture-weighting shape (FLAN/Pile-style mixing uses
+    exactly this accept-hash pattern).
+
+    Plan: pass 1 = tiny combiner lang-count; driver computes per-lang
+    (n, cap); pass 2 = vectorized hash filter with the map broadcast in
+    the task closure."""
+    import hashlib as _hl
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "lang"])
+    counts = combiner_groupby(ds, ["lang"], count="n")
+    if not isinstance(counts, pd.DataFrame):
+        counts = counts.to_pandas()  # ≤ #languages rows
+    n_tot = int(counts["n"].sum())
+    k = len(counts)
+    uniform = n_tot // k if k else 0
+    cap_of = {
+        str(l): (int(n), min(int(n), uniform))
+        for l, n in zip(counts["lang"], counts["n"])
+    }
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.md5(str(i).encode("ascii")).digest()[:8], "little"
+                )
+                for i in df["doc_id"]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        pairs = df["lang"].astype(str).map(cap_of)
+        n_l = np.fromiter((p[0] for p in pairs), dtype=np.uint64, count=len(df))
+        cap = np.fromiter((p[1] for p in pairs), dtype=np.uint64, count=len(df))
+        keep = (h % n_l) < cap
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "lang": df["lang"].to_numpy()[keep],
+            }
+        )
+
+    return ds.map_batches(accept, batch_format="pandas")
+
+
 STRATIFIED_ORACLE_SQL = """
 SELECT lang, doc_id FROM (
   SELECT lang, doc_id,

@@ -380,6 +380,7 @@ for _fam, _names in {
     "ann_cluster": [
         "ann_topk", "ann_ivf_fullprobe", "ann_ivf_topk", "ann_ivf_pruned",
         "ann_ivf_pruned_fullprobe", "kmeans_embeddings", "lang_centroids",
+        "knn_join", "knn_join_ivf",
     ],
     "text_analysis": [
         "token_count", "token_count_bpe", "text_quality", "repetition_ratio",

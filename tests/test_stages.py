@@ -510,6 +510,45 @@ def test_ivf_bucketed_layout_prunes_reads(ray_session, tmp_path):
     assert again is not None and len(again[1]) == 8
 
 
+def test_knn_join_ivf_recall_vs_exact(ray_session, tmp_path):
+    """kNN-graph join: the bucketed approximate path recovers most top-1
+    neighbors of the exact bucket-pair path on clustered data, and the
+    exact path emits exactly k neighbors per vector with the documented
+    (ppm desc, nbr asc) ordering."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import QUERIES
+    from universal_parquet_exporter_ray.stages.ann import _normalize
+
+    rng = np.random.default_rng(17)
+    centers = _normalize(rng.normal(0, 1, (4, 16)))
+    vecs = np.concatenate([c + rng.normal(0, 0.07, (60, 16)) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    exact = QUERIES["knn_join"](str(tmp_path), k=3)
+    approx = QUERIES["knn_join_ivf"](str(tmp_path), k=3, n_clusters=4)
+    # exact: exactly k rows per vector, ordering deterministic
+    assert (exact.groupby("vec_id").size() == 3).all()
+    e1 = exact.sort_values(["vec_id", "cos_ppm", "nbr"],
+                           ascending=[True, False, True]).groupby("vec_id").head(1)
+    a1 = approx.sort_values(["vec_id", "cos_ppm", "nbr"],
+                            ascending=[True, False, True]).groupby("vec_id").head(1)
+    merged = e1.merge(a1, on="vec_id", suffixes=("_e", "_a"))
+    recall = (merged["nbr_e"] == merged["nbr_a"]).mean()
+    assert recall >= 0.75  # clustered data: coarse buckets find the cell
+
+
 def test_ivf_layout_shards_hot_buckets(ray_session, tmp_path, monkeypatch):
     """A bucket larger than UPXR_IVF_SHARD_ROWS must split into multiple
     atomic shard files inside its bucket dir (never one giant file), with

@@ -2418,6 +2418,125 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, m: int = 4096):
     ).reset_index(drop=True)
 
 
+KNN_JOIN_ORACLE_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS v, b.vec_id AS nbr,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 1000000.0) AS BIGINT) AS cos_ppm
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT v AS vec_id, nbr, cos_ppm FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY v ORDER BY cos_ppm DESC, nbr
+  ) AS rk FROM pairs
+) WHERE rk <= 5
+"""
+
+
+@q("knn_join", KNN_JOIN_ORACLE_SQL)
+def q_knn_join(sf_dir: str, k: int = 5, n_buckets: int = 4):
+    """EXACT kNN-GRAPH join: every vector's k nearest neighbors by cosine —
+    the graph-construction primitive behind SemDeDup-style pruning,
+    kNN-graph clustering and connectivity-based curation. Fully
+    distributed via the bucket-PAIR machinery (``PairGroupReplicate``):
+    each group emits per-doc PARTIAL top-k rows (≤ group-size × k — the
+    group's all-pairs matrix never leaves the worker), and a per-doc
+    groupby merges partials into the global top-k. Ordering matches the
+    SQL twin exactly: cos_ppm DESC, nbr ASC (candidate columns pre-sorted
+    by id so stable argsort inherits the tie-break).
+
+    Exact-twin guard (same as ``embedding_near_dup``): per-group work is
+    O(n²/G), so above ``UPXR_NEAR_DUP_EXACT_MAX_ROWS`` it raises and
+    points at ``knn_join_ivf``, the bucketed approximate scale path."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.ann import PairGroupReplicate, final_knn, knn_group
+
+    max_rows = int(os.environ.get("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "2000000"))
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"knn_join is the exact all-pairs twin (O(n²/G) per group) and "
+            f"the corpus has {n_rows} rows > UPXR_NEAR_DUP_EXACT_MAX_ROWS="
+            f"{max_rows}; use knn_join_ivf (bucketed, sub-quadratic) at "
+            "this scale"
+        )
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rep = ds.map_batches(
+        task_stage(PairGroupReplicate, n_buckets=n_buckets),
+        batch_format="pandas",
+    )
+    partials = rep.groupby("pg").map_groups(
+        knn_group(k, n_buckets), batch_format="pandas"
+    )
+    out = (
+        partials.groupby("vec_id")
+        .map_groups(final_knn(k), batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 and list(out.columns) != ["vec_id", "nbr", "cos_ppm"]:
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr": pd.Series([], dtype="int64"),
+                "cos_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["vec_id", "nbr"]).reset_index(drop=True)
+
+
+@q("knn_join_ivf")
+def q_knn_join_ivf(sf_dir: str, k: int = 5, n_clusters: int = 16):
+    """APPROXIMATE kNN-graph join — the sub-quadratic scale path for
+    ``knn_join``: vectors co-partition by their IVF coarse-quantizer
+    bucket and each doc takes its top-k WITHIN its bucket (per-bucket
+    work is (n/C)², total n²/C — pick C ≈ corpus/worker-batch at scale;
+    recall follows the coarse quantizer, pinned in pytest on clustered
+    data). Rows-only by design (the bucket boundary makes the neighbor
+    set approximate); the machinery's exactness is inherited from the
+    shared ``_topk_rows`` kernel the exact twin oracles."""
+    from ..stages.ann import AssignBucket, _topk_rows, kmeans_fit
+
+    ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit_df = ds.limit(65536).to_pandas()
+    mat = _normalize(np.stack(fit_df["embedding"].to_numpy()).astype(np.float64))
+    centroids = kmeans_fit(mat, n_clusters)
+    assigned = thresholded_stage(
+        ds,
+        AssignBucket,
+        {"centroids": centroids},
+        payload_nbytes=int(centroids.nbytes),
+        concurrency=(1, 4),
+        batch_format="pandas",
+    )
+
+    def bucket_knn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        emb = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        S = emb @ emb.T
+        ppm = (np.sign(S * 1e6) * np.floor(np.abs(S * 1e6) + 0.5)).astype(
+            np.int64
+        )
+        np.fill_diagonal(ppm, -3_000_000)
+        return _topk_rows(ids, ppm, ids, k)
+
+    out = (
+        assigned.groupby("bucket")
+        .map_groups(bucket_knn, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 and list(out.columns) != ["vec_id", "nbr", "cos_ppm"]:
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr": pd.Series([], dtype="int64"),
+                "cos_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["vec_id", "nbr"]).reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # Bloom-filter decontamination — the probe-scale sketch complement to the
 # exact scans (contamination_scan, decontaminate_neardup)

@@ -262,6 +262,94 @@ def _pair_ppm_empty() -> pd.DataFrame:
     )
 
 
+def _knn_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "nbr": pd.Series([], dtype="int64"),
+            "cos_ppm": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def _topk_rows(src_ids, ppm, cand_ids, k: int) -> pd.DataFrame:
+    """Per-SOURCE-row top-k of a (m × c) ppm matrix by (ppm desc, nbr asc),
+    fully vectorized: candidate columns are pre-sorted by nbr ascending, so
+    a STABLE argsort on -ppm breaks ties toward the smaller neighbor id —
+    the same deterministic order the SQL twin's ROW_NUMBER uses."""
+    order = np.argsort(cand_ids, kind="stable")
+    cand_sorted = cand_ids[order]
+    ppm = ppm[:, order]
+    kk = min(k, ppm.shape[1])
+    sel = np.argsort(-ppm, axis=1, kind="stable")[:, :kk]
+    rows = np.repeat(src_ids, kk)
+    nbrs = cand_sorted[sel].ravel()
+    vals = np.take_along_axis(ppm, sel, axis=1).ravel()
+    keep = vals > -2_000_000  # drop the self-mask sentinel
+    return pd.DataFrame(
+        {
+            "vec_id": rows[keep].astype(np.int64),
+            "nbr": nbrs[keep].astype(np.int64),
+            "cos_ppm": vals[keep].astype(np.int64),
+        }
+    )
+
+
+def knn_group(k: int, n_buckets: int, scale: float = 1e6):
+    """map_groups reducer for one bucket-pair group of the kNN-graph join:
+    per-doc PARTIAL top-k within the group (both directions for
+    off-diagonal groups), emitted as (vec_id, nbr, cos_ppm) rows — ≤
+    group-size × k rows, never the group's all-pairs matrix. A doc's true
+    global top-k is a merge of its per-group partials because its full
+    candidate set is the union of its G groups (same-bucket candidates
+    live ONLY in the diagonal group; cross-bucket in exactly one group).
+    Ordering matches the SQL twin: ppm DESC, nbr ASC (ties included)."""
+    G = int(n_buckets)
+
+    def to_ppm(S: np.ndarray) -> np.ndarray:
+        return (np.sign(S * scale) * np.floor(np.abs(S * scale) + 0.5)).astype(
+            np.int64
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pg = int(g["pg"].iloc[0])
+        i, j = divmod(pg, G)
+        g = g.drop_duplicates(subset=["vec_id"])
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        emb = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        bkt = g["bkt"].to_numpy(dtype=np.int64)
+        if i == j:
+            S = to_ppm(emb @ emb.T)
+            np.fill_diagonal(S, -3_000_000)  # self is never a neighbor
+            return _topk_rows(ids, S, ids, k)
+        li, ri = np.flatnonzero(bkt == i), np.flatnonzero(bkt == j)
+        if len(li) == 0 or len(ri) == 0:
+            return _knn_empty()
+        S = to_ppm(emb[li] @ emb[ri].T)
+        return pd.concat(
+            [
+                _topk_rows(ids[li], S, ids[ri], k),
+                _topk_rows(ids[ri], S.T, ids[li], k),
+            ],
+            ignore_index=True,
+        )
+
+    return reduce
+
+
+def final_knn(k: int):
+    """Per-doc final merge of the group partials: global top-k by
+    (ppm desc, nbr asc)."""
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_ppm", "nbr"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return g[["vec_id", "nbr", "cos_ppm"]]
+
+    return fin
+
+
 # ---------------------------------------------------------------------------
 # Bucket-partitioned IVF corpus layout — the true 100-TB ANN read path.
 # The corpus is written ONCE partitioned by coarse-quantizer bucket (one

@@ -104,7 +104,7 @@ _TAIL = [
     "decontaminate_neardup", "quantiles_hist", "hll_count_distinct",
     "kmeans_embeddings", "semdedup", "heavy_hitters", "hopping_window",
     "watermark_window", "range_join", "bloom_decontaminate",
-    "mixture_sample", "knn_join", "knn_join_ivf",
+    "mixture_sample", "knn_join", "knn_join_ivf", "quality_filter",
 ]
 _COST_ORDER = _TIER1_SURVEY + _TIER2_LLM + _TAIL
 assert len(_TIER1_SURVEY) + len(_TIER2_LLM) == 50, (

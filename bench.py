@@ -386,7 +386,7 @@ for _fam, _names in {
         "token_count", "token_count_bpe", "text_quality", "repetition_ratio",
         "quality_by_lang", "lang_id", "top_terms_by_lang", "unigram_logprob",
         "tfidf_keywords", "redact_pii", "sequence_pack", "curate_corpus",
-        "hash_split", "stratified_sample", "mixture_sample",
+        "hash_split", "stratified_sample", "mixture_sample", "quality_filter",
     ],
     "multimodal": ["multimodal_features", "media_resize", "media_frame_sample"],
 }.items():

@@ -1997,6 +1997,57 @@ def test_semdedup_matches_numpy_reference(ray_session):
     assert 0 < n_kept < len(got)
 
 
+def test_quality_filter_threshold_and_ties(ray_session, tmp_path):
+    """Relative quality filter: the p75 order-statistic threshold is
+    corpus-derived, docs AT the threshold are kept (>=, matching the SQL
+    twin), and the engine agrees with DuckDB exactly on a fixture with
+    ties at the boundary."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.textops import (
+        QUALITY_FILTER_ORACLE_SQL,
+        QUERIES,
+    )
+
+    # alpha ratios: 4 docs low, 4 docs exactly at the future threshold
+    texts = ["aa 11 22 33"] * 4 + ["aaaa bb 11"] * 4  # distinct alpha ppm
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 8),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["quality_filter"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(QUALITY_FILTER_ORACLE_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    # the 4 high-alpha docs tie AT the p75 threshold: all kept
+    assert set(out["doc_id"]) == {4, 5, 6, 7}
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "alpha_ppm"]],
+        oracle[["doc_id", "alpha_ppm"]],
+        check_dtype=False,
+    )
+
+
 def test_mixture_sample_rebalances_shares(ray_session, tmp_path):
     """Mixture rebalancing semantics on a skewed corpus: a language at 8×
     the uniform share is downsampled toward the uniform cap, languages at

@@ -749,6 +749,77 @@ def q_text_quality(sf_dir: str):
     return out
 
 
+QUALITY_FILTER_ORACLE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    * 1000000.0 / length(text)) AS BIGINT) AS alpha_ppm
+  FROM documents WHERE length(text) > 0
+),
+r AS (SELECT alpha_ppm, row_number() OVER (ORDER BY alpha_ppm) AS rn FROM s),
+n AS (SELECT count(*) AS c FROM s),
+thr AS (SELECT max(CASE WHEN rn <= ((c-1)*3)//4 + 1 THEN alpha_ppm END) AS t
+        FROM r, n)
+SELECT s.doc_id, s.alpha_ppm FROM s, thr WHERE s.alpha_ppm >= thr.t
+"""
+
+
+@q("quality_filter", QUALITY_FILTER_ORACLE_SQL)
+def q_quality_filter(sf_dir: str, pct_num: int = 3, pct_den: int = 4):
+    """RELATIVE quality filtering — the FineWeb-style curation step: keep
+    every document whose quality score (alphabetic-ratio ppm, an INTEGER
+    so the threshold comparison is exact) is at or above the corpus's
+    p75. The threshold is a corpus-relative ORDER STATISTIC, not a fixed
+    constant, so the filter adapts to the corpus distribution — and it is
+    EXACT: the same distributed-rank machinery as ``quantiles``
+    (range-partition + exact O(#ranges) offsets, no global sorted pull)
+    computes k-th-order-statistic = max{v : rank(v) ≤ k} with
+    k = floor(0.75·(n−1)) + 1, matching the SQL row_number formulation
+    bit-for-bit on integer scores.
+
+    Plan: one scoring pass (materialized — two int64 columns, ~16 B/doc
+    at any corpus size) → rank + partial-max threshold → one vectorized
+    filter over the materialized scores. Three passes over a NARROW
+    dataset, one over the text."""
+    from ..stages.rank import distributed_rank
+
+    ds = load_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score(df)
+        return q[["doc_id", "alpha_ppm"]]
+
+    scores = ds.map_batches(score, batch_format="pandas").materialize()
+    n = scores.count()
+    k = (n - 1) * pct_num // pct_den + 1
+    ranked = distributed_rank(scores, "alpha_ppm", "rn", descending=False)
+
+    def partial_max(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["alpha_ppm"].to_numpy(np.int64)
+        rn = df["rn"].to_numpy(np.int64)
+        sel = v[rn <= k]
+        return pd.DataFrame(
+            {"t": [int(sel.max()) if len(sel) else np.iinfo(np.int64).min]}
+        )
+
+    thr = int(
+        ranked.map_batches(partial_max, batch_format="pandas")
+        .to_pandas()["t"]
+        .max()
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["alpha_ppm"].to_numpy(np.int64) >= thr
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[m],
+                "alpha_ppm": df["alpha_ppm"].to_numpy(np.int64)[m],
+            }
+        )
+
+    return scores.map_batches(keep, batch_format="pandas")
+
+
 _REPETITION_ORACLE_SQL = """
 WITH t AS (
   SELECT doc_id,

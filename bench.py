@@ -352,12 +352,12 @@ for _fam, _names in {
     ],
     "aggregate": [
         "global_agg", "group_agg", "count_distinct", "global_count_distinct",
-        "having", "minmax_dates", "quantiles", "cte_share",
+        "having", "minmax_dates", "quantiles", "cte_share", "rollup_agg",
     ],
     "sketch": ["quantiles_hist", "hll_count_distinct", "heavy_hitters"],
     "window_stream": [
         "rolling_window", "lag_gap", "window_agg", "sessionization",
-        "hopping_window", "asof_join", "watermark_window",
+        "hopping_window", "asof_join", "watermark_window", "range_window",
     ],
     "join": [
         "join_inner", "join_left_coalesce", "semi_distinct", "anti_join",

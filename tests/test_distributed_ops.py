@@ -384,6 +384,63 @@ def test_watermark_window_flags_late_events(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out[cols], oracle[cols], check_dtype=False)
 
 
+def test_range_window_peer_semantics(ray_session, tmp_path):
+    """SQL RANGE frames span the full PEER GROUP of the current timestamp:
+    two events at the same instant must each see both values; an event
+    exactly 1h after another includes it (inclusive frame start); 1h+1µs
+    excludes it."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    rows = [
+        (0, 1, base, 1.0),
+        (1, 1, base, 2.0),                                   # peer of event 0
+        (2, 1, base + pd.Timedelta(hours=1), 4.0),            # exactly 1h: includes 0,1
+        (3, 1, base + pd.Timedelta(hours=2, microseconds=1), 8.0),  # 1h+1µs after 2: alone
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows]), type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = QUERIES["range_window"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    got = out.set_index("event_id")["roll_1h_dm"]
+    assert got[0] == 30000 and got[1] == 30000  # peers: both see 1+2
+    assert got[2] == 70000                       # 1+2+4, inclusive 1h back
+    assert got[3] == 80000                       # alone
+
+
+def test_rollup_agg_subtotals(ray_session):
+    """ROLLUP levels are internally consistent on the real corpus: the
+    grand-total row equals the sum of the per-flag subtotals, which equal
+    the sum of the finest rows; NULL indicators mark rolled-up keys."""
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    out = QUERIES["rollup_agg"]("/root/testdata/sf0.001")
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    fine = out[out["l_returnflag"].notna() & out["l_linestatus"].notna()]
+    lvl1 = out[out["l_returnflag"].notna() & out["l_linestatus"].isna()]
+    total = out[out["l_returnflag"].isna() & out["l_linestatus"].isna()]
+    assert len(total) == 1
+    assert int(total["n"].iloc[0]) == int(fine["n"].sum()) == int(lvl1["n"].sum())
+    per_flag = fine.groupby("l_returnflag")["n"].sum()
+    for r in lvl1.itertuples():
+        assert int(r.n) == int(per_flag[r.l_returnflag])
+
+
 def test_range_join_boundaries_and_oracle(ray_session, tmp_path):
     """Interval-containment join: both interval ends are INCLUSIVE, events
     route to one bucket only (no double counting across the bucket

@@ -856,6 +856,109 @@ def q_watermark_window(sf_dir: str, lateness_min: int = 10):
     return scale_cols(out, {"sum_value": ("sum_value_dm", 10000.0)})
 
 
+@q(
+    "rollup_agg",
+    "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_c "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP — hierarchical subtotals (per (flag, status), per
+    flag, grand total) from ONE corpus pass: the finest-level combiner
+    aggregate is computed distributed, and the coarser levels re-aggregate
+    FROM IT driver-side (exact for the algebraic SUM/COUNT — group sums
+    re-sum to level sums), so the rollup costs one scan + a
+    groups-sized driver fold instead of three scans. Subtotal rows carry
+    SQL's NULL indicator in the rolled-up key columns."""
+    ds = load_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+    fine = combiner_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sums={"l_extendedprice": "s"},
+        count="n",
+    )
+    if not isinstance(fine, pd.DataFrame):
+        fine = fine.to_pandas()  # groups-sized
+    lvl2 = fine.copy()
+    lvl1 = (
+        fine.groupby("l_returnflag", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .assign(l_linestatus=None)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "s": [fine["s"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"].to_numpy(dtype=object),
+            "l_linestatus": out["l_linestatus"].to_numpy(dtype=object),
+            "n": out["n"].to_numpy(np.int64),
+            "sum_price_c": scaled_int(out["s"].to_numpy(np.float64), 100.0),
+        }
+    )
+
+
+@q(
+    "range_window",
+    "SELECT event_id, CAST(round(sum(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+    "* 10000) AS BIGINT) AS roll_1h_dm FROM events",
+)
+def q_range_window(sf_dir: str):
+    """RANGE-frame window aggregate — the TIME-interval complement of
+    ``rolling_window``'s ROWS frame: per-user sum of values within the
+    trailing 1 hour of EVENT TIME, peers included (SQL RANGE frames span
+    the full peer group of the current timestamp, so two events at the
+    same instant see each other — matched exactly via
+    searchsorted(..., 'right')). groupby(user) co-locates each entity's
+    history; inside a group the frame is one sorted pass + prefix sums +
+    two vectorized searchsorted calls — no per-row loop, no quadratic
+    frame re-scan."""
+    ds = load_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": us,
+                "value": t["value"],
+            }
+        )
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_us", kind="stable")
+        ts = g["ts_us"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        pre = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(ts, ts - hour_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # peer-inclusive
+        s = pre[hi] - pre[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "roll_1h_dm": scaled_int(s, 10000.0),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(frame, batch_format="pandas")
+    )
+
+
 RANGE_JOIN_ORACLE_SQL = """
 WITH iv AS (
   SELECT user_id AS iv_id, min(ts) AS t0, min(ts) + INTERVAL 2 HOUR AS t1

@@ -105,7 +105,7 @@ _TAIL = [
     "kmeans_embeddings", "semdedup", "heavy_hitters", "hopping_window",
     "watermark_window", "range_join", "bloom_decontaminate",
     "mixture_sample", "knn_join", "knn_join_ivf", "quality_filter",
-    "rollup_agg", "range_window",
+    "rollup_agg", "range_window", "cube_agg", "latest_event",
 ]
 _COST_ORDER = _TIER1_SURVEY + _TIER2_LLM + _TAIL
 assert len(_TIER1_SURVEY) + len(_TIER2_LLM) == 50, (

@@ -353,6 +353,7 @@ for _fam, _names in {
     "aggregate": [
         "global_agg", "group_agg", "count_distinct", "global_count_distinct",
         "having", "minmax_dates", "quantiles", "cte_share", "rollup_agg",
+        "cube_agg", "latest_event",
     ],
     "sketch": ["quantiles_hist", "hll_count_distinct", "heavy_hitters"],
     "window_stream": [

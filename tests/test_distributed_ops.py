@@ -422,6 +422,37 @@ def test_range_window_peer_semantics(ray_session, tmp_path):
     assert got[3] == 80000                       # alone
 
 
+def test_latest_event_tie_break(ray_session, tmp_path):
+    """Argmax-per-group: ties on ts resolve to the larger event_id (the
+    SQL twin's ORDER BY ts DESC, event_id DESC), across batch boundaries."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_ray.pipelines.relational import QUERIES
+
+    base = pd.Timestamp("2024-06-01")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([base, base, base + pd.Timedelta(hours=1), base]),
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = QUERIES["latest_event"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    got = out.set_index("user_id")
+    assert int(got.loc[7, "event_id"]) == 3  # later ts wins
+    assert int(got.loc[9, "event_id"]) == 4
+    assert len(out) == 2
+
+
 def test_rollup_agg_subtotals(ray_session):
     """ROLLUP levels are internally consistent on the real corpus: the
     grand-total row equals the sum of the per-flag subtotals, which equal

@@ -959,6 +959,114 @@ def q_range_window(sf_dir: str):
     )
 
 
+@q(
+    "cube_agg",
+    "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_c "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets ((flag,status), (flag),
+    (status), ()) from the same ONE-corpus-pass plan as ``rollup_agg``:
+    the finest combiner aggregate computes distributed and every coarser
+    set re-aggregates from it driver-side (exact for algebraic
+    SUM/COUNT)."""
+    ds = load_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+    fine = combiner_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sums={"l_extendedprice": "s"},
+        count="n",
+    )
+    if not isinstance(fine, pd.DataFrame):
+        fine = fine.to_pandas()
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .assign(l_linestatus=None)
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .assign(l_returnflag=None)
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "s": [fine["s"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"].to_numpy(dtype=object),
+            "l_linestatus": out["l_linestatus"].to_numpy(dtype=object),
+            "n": out["n"].to_numpy(np.int64),
+            "sum_price_c": scaled_int(out["s"].to_numpy(np.float64), 100.0),
+        }
+    )
+
+
+@q(
+    "latest_event",
+    "SELECT user_id, event_id, event_type, "
+    "CAST(round(value * 10000) AS BIGINT) AS value_dm FROM ("
+    "  SELECT *, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk"
+    "  FROM events) WHERE rk = 1",
+)
+def q_latest_event(sf_dir: str):
+    """ARGMAX-per-group — the 'current snapshot' operator (latest event
+    per user, CDC-style last-write-wins compaction): an ALGEBRAIC combiner,
+    not a window sort — each batch keeps one candidate row per user (max
+    (ts, event_id) lexicographically), partials merge by the same rule, so
+    only user-count-sized rows reach the exchange and no per-entity sort
+    ever runs. The standard plan for snapshotting a 100-TB event log."""
+    ds = load_table(
+        sf_dir, "events", ["user_id", "event_id", "event_type", "ts", "value"]
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic argmax via sort is O(n log n) per batch but
+        # vectorized; stable sort + tail(1) per user keeps max (ts, id)
+        d = df.sort_values(["ts", "event_id"], kind="stable")
+        return d.groupby("user_id", sort=False).tail(1)
+
+    partials = ds.map_batches(best, batch_format="pandas")
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["up"] = (
+            pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(64)
+        ).astype(np.int64)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["ts", "event_id"], kind="stable")
+        d = d.groupby("user_id", sort=False).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": d["user_id"].to_numpy(np.int64),
+                "event_id": d["event_id"].to_numpy(np.int64),
+                "event_type": d["event_type"].to_numpy(dtype=object),
+                "value_dm": scaled_int(d["value"].to_numpy(np.float64), 10000.0),
+            }
+        )
+
+    return (
+        partials.map_batches(stamp, batch_format="pandas")
+        .groupby("up")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 RANGE_JOIN_ORACLE_SQL = """
 WITH iv AS (
   SELECT user_id AS iv_id, min(ts) AS t0, min(ts) + INTERVAL 2 HOUR AS t1

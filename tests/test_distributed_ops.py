@@ -780,6 +780,84 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sets(st.integers(0, 30), max_size=12),  # side-a shingles
+            st.sets(st.integers(0, 30), max_size=12),  # side-b shingles
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_count_pair_intersections_matches_set_intersection(pairs):
+    """The lexsort adjacent-equal kernel equals per-pair set intersection
+    for ANY per-side-distinct shingle multiset layout."""
+    from universal_parquet_exporter_ray.stages.dedup import (
+        _count_pair_intersections,
+    )
+
+    sh_all, pair_idx, want = [], [], []
+    for i, (sa, sb) in enumerate(pairs):
+        sh_all.extend(sorted(sa))
+        pair_idx.extend([i] * len(sa))
+        sh_all.extend(sorted(sb))
+        pair_idx.extend([i] * len(sb))
+        want.append(len(sa & sb))
+    got = _count_pair_intersections(
+        np.array(sh_all, dtype=np.int64),
+        np.array(pair_idx, dtype=np.int64),
+        len(pairs),
+    )
+    assert got.tolist() == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    m=st.integers(1, 6),
+    c=st.integers(1, 8),
+    k=st.integers(1, 6),
+    data=st.data(),
+)
+def test_topk_rows_matches_pandas_nlargest(m, c, k, data):
+    """_topk_rows (nbr-presorted stable argsort) equals a per-row pandas
+    sort by (ppm desc, nbr asc) head-k, for any ppm matrix including ties
+    and any candidate-id order."""
+    from universal_parquet_exporter_ray.stages.ann import _topk_rows
+
+    ppm = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(-1_000_000, 1_000_000),
+                         min_size=c, max_size=c),
+                min_size=m,
+                max_size=m,
+            )
+        ),
+        dtype=np.int64,
+    )
+    cand = np.array(
+        data.draw(
+            st.lists(st.integers(0, 10_000), min_size=c, max_size=c,
+                     unique=True)
+        ),
+        dtype=np.int64,
+    )
+    src = np.arange(m, dtype=np.int64) * 100
+    got = _topk_rows(src, ppm.copy(), cand.copy(), k)
+    for i in range(m):
+        exp = (
+            pd.DataFrame({"nbr": cand, "cos_ppm": ppm[i]})
+            .sort_values(["cos_ppm", "nbr"], ascending=[False, True],
+                         kind="stable")
+            .head(k)
+        )
+        g = got[got["vec_id"] == src[i]]
+        assert g["nbr"].tolist() == exp["nbr"].tolist()
+        assert g["cos_ppm"].tolist() == exp["cos_ppm"].tolist()
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     events=st.lists(

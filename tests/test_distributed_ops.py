@@ -1455,10 +1455,15 @@ def test_hopping_window_normalizes_ts_unit(ray_session, tmp_path):
     for unit in ("us", "ns", "ms"):
         d = tmp_path / unit
         d.mkdir()
+        unit_ts = ts
+        if unit == "ns":
+            # genuine sub-µs components must TRUNCATE to the µs grid
+            # (DuckDB's native precision), not raise (review r5)
+            unit_ts = ts + pd.Timedelta(nanoseconds=500)
         tbl = pa.table(
             {
                 "event_type": pa.array(base["event_type"]),
-                "ts": pa.array(ts, type=pa.timestamp(unit)),
+                "ts": pa.array(unit_ts, type=pa.timestamp(unit)),
                 "value": pa.array(base["value"], type=pa.float64()),
             }
         )

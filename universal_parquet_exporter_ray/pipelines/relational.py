@@ -47,6 +47,17 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+def _ts_us_i64(col):
+    """Timestamp column → int64 µs with UNIT NORMALIZATION BY TRUNCATION:
+    DuckDB's native TIMESTAMP precision is µs, so a ns-unit source truncates
+    to the µs grid on the oracle side — the engine must do the same (the
+    default safe Arrow cast would instead raise on genuine sub-µs
+    components; review r5). ms/s sources upcast losslessly."""
+    return pc.cast(
+        pc.cast(col, pa.timestamp("us"), safe=False), pa.int64()
+    )
+
+
 def scaled_int(x, scale: float) -> np.ndarray:
     """DuckDB-equivalent ``CAST(round(x * scale) AS BIGINT)`` (round half
     away from zero). Computed floats are exported as scaled BIGINTs because
@@ -746,7 +757,7 @@ def q_hopping_window(sf_dir: str):
         # normalize the unit BEFORE the integer math: a ns- or ms-unit
         # source would otherwise silently produce wrong hops (ADVICE r4)
         us = (
-            ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            _ts_us_i64(ts).to_numpy()
             if len(t)
             else np.empty(0, np.int64)
         )
@@ -812,7 +823,7 @@ def q_watermark_window(sf_dir: str, lateness_min: int = 10):
 
     def prep(t: pa.Table) -> pa.Table:
         # unit-normalized integer µs (same guard as hopping_window)
-        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        us = _ts_us_i64(t["ts"])
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -882,8 +893,10 @@ def q_rollup_agg(sf_dir: str):
     if not isinstance(fine, pd.DataFrame):
         fine = fine.to_pandas()  # groups-sized
     lvl2 = fine.copy()
+    # dropna=False: NULL keys form a group (SQL GROUP BY convention the
+    # combiner documents) and must appear in subtotal levels too (review r5)
     lvl1 = (
-        fine.groupby("l_returnflag", as_index=False)
+        fine.groupby("l_returnflag", as_index=False, dropna=False)
         .agg(s=("s", "sum"), n=("n", "sum"))
         .assign(l_linestatus=None)
     )
@@ -927,7 +940,7 @@ def q_range_window(sf_dir: str):
     hour_us = 3_600_000_000
 
     def prep(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        us = _ts_us_i64(t["ts"])
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -983,12 +996,12 @@ def q_cube_agg(sf_dir: str):
     if not isinstance(fine, pd.DataFrame):
         fine = fine.to_pandas()
     by_flag = (
-        fine.groupby("l_returnflag", as_index=False)
+        fine.groupby("l_returnflag", as_index=False, dropna=False)
         .agg(s=("s", "sum"), n=("n", "sum"))
         .assign(l_linestatus=None)
     )
     by_status = (
-        fine.groupby("l_linestatus", as_index=False)
+        fine.groupby("l_linestatus", as_index=False, dropna=False)
         .agg(s=("s", "sum"), n=("n", "sum"))
         .assign(l_returnflag=None)
     )
@@ -1111,7 +1124,7 @@ def q_range_join(sf_dir: str, n_users: int = 20, hours: int = 2):
     ds = load_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        us = _ts_us_i64(t["ts"])
         return pa.table(
             {
                 "user_id": t["user_id"],
@@ -1160,7 +1173,12 @@ def q_range_join(sf_dir: str, n_users: int = 20, hours: int = 2):
 
     def tag_events(t: pa.Table) -> pa.Table:
         us = t["ts_us"]
-        bucket = pc.divide(us, hour_us)
+        # FLOOR division, matching the numpy // used to replicate intervals
+        # (review r5: pc.divide truncates toward zero, which on pre-epoch
+        # timestamps would route an event to a bucket its containing
+        # interval was never replicated to)
+        us_np = us.to_numpy(zero_copy_only=False)
+        bucket = pa.array(np.floor_divide(us_np, hour_us))
         n = len(t)
         return pa.table(
             {

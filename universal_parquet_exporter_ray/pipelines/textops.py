@@ -2056,6 +2056,23 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
     return _ppm_topk(out, k)
 
 
+def _exact_twin_row_guard(sf_dir: str, name: str, scale_path: str) -> None:
+    """Shared guard for the exact all-pairs conformance twins: refuse to
+    run O(n²/G)-per-group work above the row budget and point at the
+    sub-quadratic scale path (single source of truth — review r5)."""
+    import pyarrow.parquet as _pq
+
+    max_rows = int(os.environ.get("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "2000000"))
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"{name} is the exact all-pairs twin (O(n²/G) per group) and "
+            f"the corpus has {n_rows} rows > UPXR_NEAR_DUP_EXACT_MAX_ROWS="
+            f"{max_rows}; use {scale_path} (sub-quadratic) at this scale, "
+            "or raise the budget explicitly if you really want the exact plan"
+        )
+
+
 NEAR_DUP_ORACLE_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2083,20 +2100,9 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.4, n_buckets: int = 4
     large corpus (VERDICT r4 #3) — above ``UPXR_NEAR_DUP_EXACT_MAX_ROWS``
     (default 2M; footer-metadata row count, O(1)) it raises and points at
     ``embedding_near_dup_lsh``, the sub-quadratic scale path."""
-    import pyarrow.parquet as _pq
-
     from ..stages.ann import PairGroupReplicate, all_pairs_group
 
-    max_rows = int(os.environ.get("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "2000000"))
-    n_rows = _pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
-    if n_rows > max_rows:
-        raise ValueError(
-            f"embedding_near_dup is the exact all-pairs twin (O(n²/G) per "
-            f"group) and the corpus has {n_rows} rows > "
-            f"UPXR_NEAR_DUP_EXACT_MAX_ROWS={max_rows}; use "
-            "embedding_near_dup_lsh (sub-quadratic) at this scale, or raise "
-            "the budget explicitly if you really want the exact plan"
-        )
+    _exact_twin_row_guard(sf_dir, "embedding_near_dup", "embedding_near_dup_lsh")
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     # pure-hash replication stage, hashable ctor -> plain tasks (task_stage)
     rep = ds.map_batches(
@@ -2520,19 +2526,9 @@ def q_knn_join(sf_dir: str, k: int = 5, n_buckets: int = 4):
     Exact-twin guard (same as ``embedding_near_dup``): per-group work is
     O(n²/G), so above ``UPXR_NEAR_DUP_EXACT_MAX_ROWS`` it raises and
     points at ``knn_join_ivf``, the bucketed approximate scale path."""
-    import pyarrow.parquet as _pq
-
     from ..stages.ann import PairGroupReplicate, final_knn, knn_group
 
-    max_rows = int(os.environ.get("UPXR_NEAR_DUP_EXACT_MAX_ROWS", "2000000"))
-    n_rows = _pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
-    if n_rows > max_rows:
-        raise ValueError(
-            f"knn_join is the exact all-pairs twin (O(n²/G) per group) and "
-            f"the corpus has {n_rows} rows > UPXR_NEAR_DUP_EXACT_MAX_ROWS="
-            f"{max_rows}; use knn_join_ivf (bucketed, sub-quadratic) at "
-            "this scale"
-        )
+    _exact_twin_row_guard(sf_dir, "knn_join", "knn_join_ivf")
     ds = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     rep = ds.map_batches(
         task_stage(PairGroupReplicate, n_buckets=n_buckets),

@@ -272,11 +272,16 @@ def _knn_empty() -> pd.DataFrame:
     )
 
 
-def _topk_rows(src_ids, ppm, cand_ids, k: int) -> pd.DataFrame:
+def _topk_rows(
+    src_ids, ppm, cand_ids, k: int, drop_below: int = -2_000_000
+) -> pd.DataFrame:
     """Per-SOURCE-row top-k of a (m × c) ppm matrix by (ppm desc, nbr asc),
     fully vectorized: candidate columns are pre-sorted by nbr ascending, so
     a STABLE argsort on -ppm breaks ties toward the smaller neighbor id —
-    the same deterministic order the SQL twin's ROW_NUMBER uses."""
+    the same deterministic order the SQL twin's ROW_NUMBER uses.
+    ``drop_below`` is the sentinel filter floor — callers with a non-1e6
+    ppm scale pass -2×scale so legitimate anti-parallel values survive
+    (review r5)."""
     order = np.argsort(cand_ids, kind="stable")
     cand_sorted = cand_ids[order]
     ppm = ppm[:, order]
@@ -285,7 +290,7 @@ def _topk_rows(src_ids, ppm, cand_ids, k: int) -> pd.DataFrame:
     rows = np.repeat(src_ids, kk)
     nbrs = cand_sorted[sel].ravel()
     vals = np.take_along_axis(ppm, sel, axis=1).ravel()
-    keep = vals > -2_000_000  # drop the self-mask sentinel
+    keep = vals > drop_below  # drop the self-mask sentinel
     return pd.DataFrame(
         {
             "vec_id": rows[keep].astype(np.int64),
@@ -318,18 +323,23 @@ def knn_group(k: int, n_buckets: int, scale: float = 1e6):
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         emb = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         bkt = g["bkt"].to_numpy(dtype=np.int64)
+        # sentinels derived from the ppm scale: legit values span
+        # [-scale, scale], the self-mask sits at -3·scale and the filter
+        # floor at -2·scale (review r5: hard-coded 1e6 constants would
+        # silently corrupt results for callers with a larger scale)
+        floor = -int(2 * scale)
         if i == j:
             S = to_ppm(emb @ emb.T)
-            np.fill_diagonal(S, -3_000_000)  # self is never a neighbor
-            return _topk_rows(ids, S, ids, k)
+            np.fill_diagonal(S, -int(3 * scale))  # self is never a neighbor
+            return _topk_rows(ids, S, ids, k, drop_below=floor)
         li, ri = np.flatnonzero(bkt == i), np.flatnonzero(bkt == j)
         if len(li) == 0 or len(ri) == 0:
             return _knn_empty()
         S = to_ppm(emb[li] @ emb[ri].T)
         return pd.concat(
             [
-                _topk_rows(ids[li], S, ids[ri], k),
-                _topk_rows(ids[ri], S.T, ids[li], k),
+                _topk_rows(ids[li], S, ids[ri], k, drop_below=floor),
+                _topk_rows(ids[ri], S.T, ids[li], k, drop_below=floor),
             ],
             ignore_index=True,
         )
@@ -408,19 +418,23 @@ def check_shared_root(out_dir: str) -> None:
         return _os.path.exists(path)
 
     try:
-        bad = []
-        for node in ray.nodes():
-            if not node.get("Alive"):
-                continue
-            ok = ray.get(
-                _probe.options(
-                    scheduling_strategy=NodeAffinitySchedulingStrategy(
-                        node_id=node["NodeID"], soft=False
-                    )
-                ).remote(sentinel)
-            )
-            if not ok:
-                bad.append(node.get("NodeManagerAddress") or node["NodeID"])
+        # launch ALL probes first, one ray.get for the batch: serial
+        # per-node round trips would cost N × scheduling latency on a
+        # large cluster (review r5)
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        refs = [
+            _probe.options(
+                scheduling_strategy=NodeAffinitySchedulingStrategy(
+                    node_id=node["NodeID"], soft=False
+                )
+            ).remote(sentinel)
+            for node in alive
+        ]
+        bad = [
+            node.get("NodeManagerAddress") or node["NodeID"]
+            for node, ok in zip(alive, ray.get(refs))
+            if not ok
+        ]
         if bad:
             raise RuntimeError(
                 f"IVF layout root {out_dir!r} is not visible from node(s) "

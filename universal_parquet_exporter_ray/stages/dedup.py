@@ -1061,11 +1061,23 @@ def verify_pairs(
         from . import task_stage as _task_stage
         from . import thresholded_stage as _thr
 
-        blobs = docs.map_batches(
-            _task_stage(ShingleBlobStage, w=w, text_col=text_col),
-            batch_format="pandas",
-        ).materialize()
-        if blobs.size_bytes() <= blob_budget:
+        # CHEAP pre-gate before any corpus work (review r5): the blob table
+        # is ~8 bytes per token ≈ 1-2× the raw text bytes, so a corpus whose
+        # TEXT already exceeds 4× the budget cannot fit it — skip straight
+        # to the broadcast-pair plan without shingling the corpus just to
+        # measure it (the decision probe must not itself be corpus-scale).
+        text_proxy_ok = True
+        try:
+            text_proxy_ok = docs.size_bytes() <= 4 * blob_budget
+        except Exception:
+            pass
+        blobs = None
+        if text_proxy_ok:
+            blobs = docs.map_batches(
+                _task_stage(ShingleBlobStage, w=w, text_col=text_col),
+                batch_format="pandas",
+            ).materialize()
+        if blobs is not None and blobs.size_bytes() <= blob_budget:
             import ray.data as rd
 
             bdf = blobs.to_pandas()

@@ -230,8 +230,15 @@ def distributed_prefix_max(
         sp = ray.get(sp_ref)
         r = np.searchsorted(sp, df[order_col].to_numpy(), side="right")
         v = df[val_col].to_numpy(dtype=np.int64)
+        # segmented max via sort + reduceat: np.maximum.at's unbuffered
+        # scatter is the 10-30x-slower path the codebase avoids elsewhere
+        # (KMeansPartial note), and this runs once per batch of the corpus
         maxes = np.full(n_ranges, _NO_PREV, dtype=np.int64)
-        np.maximum.at(maxes, r, v)
+        order = np.argsort(r, kind="stable")
+        rs, vs = r[order], v[order]
+        present, starts = np.unique(rs, return_index=True)
+        if len(present):
+            maxes[present] = np.maximum.reduceat(vs, starts)
         return pd.DataFrame(
             {"rng": np.arange(n_ranges, dtype=np.int64), "m": maxes}
         )

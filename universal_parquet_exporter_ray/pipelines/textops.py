@@ -2765,7 +2765,11 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> "np.ndarray":
     cent = _normalize(
         np.stack(seed_tbl["embedding"].to_numpy()).astype(np.float64)
     )
-    embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize ONCE before the loop: every Lloyd iteration re-scans the
+    # corpus, and without this each iteration re-reads the parquet from
+    # disk (iters × read cost). The iterative-caching shape holds at scale
+    # too — Ray's object store pins the blocks and spills under pressure.
+    embs = load_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     for _ in range(iters):
         partials = thresholded_stage(
             embs,

@@ -511,3 +511,35 @@ def test_plan_key_counts_cached_by_source_fingerprint(ray_session, tmp_path, mon
     # kill switch
     monkeypatch.setenv("UPXR_PLAN_CACHE", "0")
     assert _plan_cache_path([src], "repo") is None
+
+
+def test_default_hash_cols_skips_partition_key(ray_session, tmp_path):
+    """When hash_cols defaults, it must NOT pick the partition_by column
+    (review r5): hashing only the partition key gives every row of a hot
+    key one hash, so the salt buckets never populate and the hot key
+    collapses into a single giant partition. With 'repo' as the FIRST
+    schema column and partition_by='repo', a hot repo must still split
+    into ~count/target_rows partitions."""
+    import numpy as np
+
+    n = 4000
+    tbl = pa.table(
+        {
+            # partition key FIRST in the schema — the degenerate default
+            "repo": pa.array(["hot/mono"] * n),
+            "path": pa.array([f"src/f{i}.py" for i in range(n)]),
+            "content": pa.array([f"line {i}\n" * 3 for i in range(n)]),
+        }
+    )
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out")
+    mdf = encode_dataset(
+        src, out, partition_by="repo", target_rows_per_partition=500
+    ).to_pandas()  # hash_cols defaulted
+    # 4000 rows / 500 target -> ~8 salt buckets; the bug yields exactly 1
+    assert len(mdf) >= 4
+    assert int(mdf.n_rows.max()) <= 2 * 500
+    assert int(mdf.n_rows.sum()) == n
+    dec = decoded_dataset(out)
+    assert dec.count() == n

@@ -130,12 +130,18 @@ def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
 
     cache = _plan_cache_path(files, key)
     if cache is not None and os.path.exists(cache):
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(cache)
-        return dict(
-            zip(t["k"].to_pylist(), (int(n) for n in t["n"].to_pylist()))
-        )
+            t = pq.read_table(cache)
+            return dict(
+                zip(t["k"].to_pylist(), (int(n) for n in t["n"].to_pylist()))
+            )
+        except Exception:
+            # a corrupt/unreadable cache file must degrade to a cache MISS,
+            # not crash every future run of the same job (review r5); the
+            # recompute below overwrites it
+            pass
 
     @ray.remote(num_cpus=1)
     def count_files(paths: list[str]) -> "pd.Series":
@@ -161,21 +167,27 @@ def _plan_key_counts(files: list[str], key: str) -> dict[str, int]:
         else {}
     )
     if cache is not None:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        tmp = cache + f".tmp{os.getpid()}"
-        pq.write_table(
-            pa.table(
-                {
-                    "k": pa.array(list(counts.keys()), type=pa.string()),
-                    "n": pa.array(list(counts.values()), type=pa.int64()),
-                }
-            ),
-            tmp,
-        )
-        os.replace(tmp, cache)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + f".tmp{os.getpid()}"
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(list(counts.keys()), type=pa.string()),
+                        "n": pa.array(list(counts.values()), type=pa.int64()),
+                    }
+                ),
+                tmp,
+            )
+            os.replace(tmp, cache)
+        except Exception:
+            # cache write failure (another user's 0755 /tmp dir, disk
+            # full) must not kill a job whose scan already succeeded —
+            # the cache is a pure optimization (review r5)
+            pass
     return counts
 
 
@@ -379,12 +391,19 @@ def encode_dataset(
             # footer, so column order is identical by construction
             import pyarrow.parquet as pq
 
-            hash_cols = [pq.read_schema(src_files[0]).names[0]]
+            names = pq.read_schema(src_files[0]).names
         else:
             # schema() costs a full metadata pass + the first-op worker
             # warmup — only pay it when the caller didn't name the
             # tie-break columns and gave a Dataset, not a path
-            hash_cols = [get_ds().schema().names[0]]
+            names = get_ds().schema().names
+        # the tie-break column must NOT be the partition key: hashing only
+        # partition_by gives every row of a hot key the same hash, so the
+        # salt buckets never populate and the hot key collapses into one
+        # giant partition — exactly the skew the salting exists to bound
+        # (review r5)
+        candidates = [c for c in names if c != partition_by]
+        hash_cols = [candidates[0] if candidates else names[0]]
     _mark("schema")
 
     plan_counts = (
@@ -534,29 +553,68 @@ def encode_dataset(
                 os.environ.get("UPXR_SPILL_READ_THREADS", "0") == "1"
             )
 
+            # footer metadata in ONE parallel task wave (review r5: the
+            # serial driver loop costs ~ms × #files on every run AND every
+            # resume — minutes of driver stall at 10^4-10^5 files)
+            _n_slots = max(1, int(ray.cluster_resources().get("CPU", 8)))
+            _n_chunks = min(len(src_files), _n_slots)
+            _chunks = [src_files[i::_n_chunks] for i in range(_n_chunks)]
+
+            @ray.remote(num_cpus=1)
+            def _rg_counts(paths):
+                import pyarrow.parquet as _pq
+
+                out = []
+                for p in paths:
+                    md = _pq.read_metadata(p)
+                    out.append(
+                        (
+                            p,
+                            [
+                                md.row_group(i).num_rows
+                                for i in range(md.num_row_groups)
+                            ],
+                        )
+                    )
+                return out
+
+            rg_rows = dict(
+                x
+                for part in ray.get([_rg_counts.remote(c) for c in _chunks])
+                for x in part
+            )
             items = []
             for f in src_files:
-                md = pq.read_metadata(f)
                 cur: list[int] = []
                 cur_rows = 0
-                for rg in range(md.num_row_groups):
+                for rg, nrows in enumerate(rg_rows[f]):
                     cur.append(rg)
-                    cur_rows += md.row_group(rg).num_rows
+                    cur_rows += nrows
                     if spill_batch and cur_rows >= spill_batch:
                         items.append({"file": f, "rgs": cur})
                         cur, cur_rows = [], 0
                 if cur:
                     items.append({"file": f, "rgs": cur})
 
+            # single read body shared by BOTH spill paths (review r5: the
+            # raw-task and Dataset forms duplicated it, threatening the
+            # documented bit-identical A/B guarantee on divergence)
+            def _read_item(file, rgs):
+                return (
+                    pq.ParquetFile(file)
+                    .read_row_groups(
+                        [int(r) for r in rgs], use_threads=_rd_threads
+                    )
+                    .replace_schema_metadata(None)
+                )
+
             def spill_selfread(batch: pa.Table) -> pa.Table:
                 from ..stages.exchange import ACK_SCHEMA
 
-                out = []
-                for row in batch.to_pylist():
-                    t = pq.ParquetFile(row["file"]).read_row_groups(
-                        [int(r) for r in row["rgs"]], use_threads=_rd_threads
-                    )
-                    out.append(spill(t.replace_schema_metadata(None)))
+                out = [
+                    spill(_read_item(row["file"], row["rgs"]))
+                    for row in batch.to_pylist()
+                ]
                 return (
                     pa.concat_tables(out) if out else ACK_SCHEMA.empty_table()
                 )
@@ -575,10 +633,7 @@ def encode_dataset(
 
                 @ray.remote(num_cpus=1)
                 def _spill_task(item):
-                    t = pq.ParquetFile(item["file"]).read_row_groups(
-                        [int(r) for r in item["rgs"]], use_threads=_rd_threads
-                    )
-                    return spill(t.replace_schema_metadata(None))
+                    return spill(_read_item(item["file"], item["rgs"]))
 
                 tabs = [t for t in ray.get([_spill_task.remote(it) for it in items]) if t.num_rows]
                 ack_df = (
@@ -657,10 +712,18 @@ def encode_dataset(
             n_bins = max(1, min(slots * bins_per_slot, len(pids)))
             bins: list[list[str]] = [[] for _ in range(n_bins)]
             loads = [0] * n_bins
+            # heapified LPT: O(P log B). The linear loads.index(min(...))
+            # scan is O(P×B) — invisible at 40 files, hours of serial
+            # driver wall at the 10^6-partition / 10^5-bin design point
+            # (review r5)
+            import heapq
+
+            heap = [(0, j) for j in range(n_bins)]
             for i in order:
-                j = loads.index(min(loads))
+                load, j = heapq.heappop(heap)
                 bins[j].append(pids[i])
-                loads[j] += sizes[i]
+                loads[j] = load + sizes[i]
+                heapq.heappush(heap, (loads[j], j))
             # dispatch heaviest bins first: Ray schedules blocks in order,
             # and a big bin starting last is exactly the straggler the
             # balancing exists to avoid (measured ~30% wave tail when the
@@ -758,4 +821,4 @@ def read_encoded(out_dir: str) -> "ray.data.Dataset":
     """Dataset of encoded column-blob rows (all partitions)."""
     from ..state.manifest import parts_path
 
-    return ray.data.read_parquet(os.path.join(parts_path(out_dir)))
+    return ray.data.read_parquet(parts_path(out_dir))

@@ -243,15 +243,32 @@ class PartitionEncoder:
                         choice = select_codec(
                             arr, fsst_state=self._cached_fsst(name)
                         )
+                        # the re-trial's fresh FSST table must replace the
+                        # stale cached one too, or the drift the guard
+                        # corrects persists in the other cache (review r5)
+                        if choice.codec in ("fsst", "fsst_zstd") and isinstance(
+                            choice.state, list
+                        ):
+                            if (
+                                name not in self._fsst_cache
+                                or self._fsst_cache[name][0] is not choice.state
+                            ):
+                                self._fsst_cache[name] = (choice.state, 0)
                         try:
                             row = encode_column(arr, choice.codec, choice.state)
+                            self._choice_cache[name] = (
+                                choice,
+                                0,
+                                row["encoded_bytes"]
+                                / max(1, row["input_bytes"]),
+                            )
                         except Exception:
+                            # mirror the primary failure path: drop the
+                            # entry — caching the choice that just FAILED
+                            # against the zstd fallback's ratio would retry
+                            # the known-bad codec every partition (review r5)
+                            self._choice_cache.pop(name, None)
                             row = encode_column(arr, "zstd")
-                        self._choice_cache[name] = (
-                            choice,
-                            0,
-                            row["encoded_bytes"] / max(1, row["input_bytes"]),
-                        )
             row["partition_id"] = pid
             row["column"] = name
             codec_map[name] = row["codec"]
